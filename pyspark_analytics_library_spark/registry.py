@@ -1,0 +1,61 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers exactly one
+:class:`QuerySpec` here.  ``__spark_entry__.queries()`` and
+``oracle_sql()`` are generated from this registry, so an operator is
+"done" if and only if it has a row here (with ``oracle=None`` only for
+the rows-only exclusions enumerated in SURVEY.md §5.3.5: sampling,
+approximate/randomized algorithms, LSH, streaming, binary payloads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    """One declared query: a Spark callable plus its DuckDB oracle."""
+
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # ANSI SQL for DuckDB; None → rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` as a declared query."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def load_all_query_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    # Imports are local to avoid circular imports at package-init time.
+    import pyspark_analytics_library_spark.operators.relational  # noqa: F401
+    import pyspark_analytics_library_spark.operators.aggregates  # noqa: F401
+    import pyspark_analytics_library_spark.operators.windows  # noqa: F401
+    import pyspark_analytics_library_spark.operators.setops  # noqa: F401
+    import pyspark_analytics_library_spark.operators.timeseries  # noqa: F401
+    import pyspark_analytics_library_spark.operators.dedup  # noqa: F401
+    import pyspark_analytics_library_spark.operators.similarity  # noqa: F401
+    import pyspark_analytics_library_spark.operators.text  # noqa: F401
+    import pyspark_analytics_library_spark.operators.udf  # noqa: F401
+    import pyspark_analytics_library_spark.operators.multimodal  # noqa: F401
+    import pyspark_analytics_library_spark.functions.scalar  # noqa: F401
+    import pyspark_analytics_library_spark.sources.scan_queries  # noqa: F401
+    import pyspark_analytics_library_spark.streaming.stream_queries  # noqa: F401

@@ -1,0 +1,149 @@
+"""Table loading and IO surface (SURVEY.md §2.1 `scan_*` / `sink_*`).
+
+Capability parity target: the reference's source/sink surface (reference
+snapshot is empty — SURVEY.md §0.1 — so the contract is the §2.1 table).
+
+Scale posture (100 TB): the loader is declarative — `spark.read.parquet`
+feeds Catalyst's vectorized Parquet scan, so predicate pushdown, column
+pruning and (on a partitioned layout) partition pruning all apply to
+every downstream operator for free.  Nothing is collected to the driver.
+At cluster scale the same entry point accepts a directory of many files
+or a partitioned table root; nothing here assumes a single file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The ten fixture tables (TESTDATA.md / FIXTURES.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Cache of loaded (lazy) DataFrames keyed by (id(spark), sf_dir).  Spark
+# DataFrames are plans, not data, so this only saves schema-read and
+# plan-build overhead when many declared queries hit the same sf_dir.
+_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def _configure(spark: SparkSession) -> None:
+    """Session confs every query depends on (runtime-settable).
+
+    - ``nanosAsLong``: `events.ts` is Parquet TIMESTAMP(NANOS), which the
+      Spark 4.x reader rejects outright ([PARQUET_TYPE_ILLEGAL]); with
+      this legacy flag it arrives as LongType nanoseconds (FIXTURES.md).
+    - UTC session timezone: DuckDB timestamps are UTC-naive; without
+      this, every timestamp comparison against the oracle is shifted.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with canonical column types."""
+    _configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs with *integer* division (`div` keeps LongType; a
+        # double roundtrip would lose precision above 2^53 ns).  DuckDB
+        # reads the same file truncated to µs — identical values, so
+        # oracle timestamp comparisons hold exactly (SURVEY.md §1.3).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register_views: bool = True
+) -> dict[str, DataFrame]:
+    """Load all fixture tables; optionally register them as temp views.
+
+    Returns a dict of lazy DataFrames.  Cached per (session, sf_dir).
+    """
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        tables = {name: load_table(spark, sf_dir, name) for name in TABLES}
+        if register_views:
+            for name, df in tables.items():
+                df.createOrReplaceTempView(name)
+        _CACHE[key] = tables
+    return _CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Generic scan surface (`scan_csv` / `scan_json` / `scan_orc` / `scan_jdbc`)
+# ---------------------------------------------------------------------------
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan with explicit schema (schema inference is an extra pass
+    over the data — never acceptable at 100 TB, so callers pass one)."""
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def scan_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def scan_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    return spark.read.options(**options).orc(path)
+
+
+def scan_jdbc(
+    spark: SparkSession, url: str, table: str, **properties
+) -> DataFrame:  # pragma: no cover - no database in this environment
+    """JDBC connector surface (API parity only; SURVEY.md §2.1 says do
+    not declare it — no database is reachable in the test environment).
+
+    At scale, callers should pass ``partitionColumn``/``lowerBound``/
+    ``upperBound``/``numPartitions`` so the read parallelizes instead of
+    funneling through a single connection.
+    """
+    return spark.read.jdbc(url=url, table=table, properties=properties)
+
+
+# ---------------------------------------------------------------------------
+# Sink surface
+# ---------------------------------------------------------------------------
+
+
+def sink_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    """Parquet writer.  ``partition_by`` produces the hive-style layout
+    that enables partition pruning on re-read — the 100 TB default for
+    fact tables (partition by a low-cardinality time bucket)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def sink_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", header).csv(path)

@@ -1,0 +1,48 @@
+"""Differential test: every registered query vs its DuckDB oracle.
+
+This is exactly what the driver does at sf0.01 (SURVEY.md §0.3), run
+locally at sf0.001.  Rows-only queries (oracle=None) are still executed
+and must return a well-formed DataFrame.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
+from tests.conftest import TEST_SF_DIR, assert_query_matches_oracle
+
+load_all_query_modules()
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, oracle, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, TEST_SF_DIR)
+    assert_query_matches_oracle(df, oracle, spec.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, TEST_SF_DIR)
+    # Schema must be stable and the query must execute end-to-end.
+    assert df.columns, f"[{name}] produced no columns"
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_oracle_name_has_query():
+    import __spark_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)

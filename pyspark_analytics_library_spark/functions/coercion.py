@@ -1,0 +1,30 @@
+"""String-or-Column coercion — the reference's core API idiom.
+
+The reference's ``convert_to_spark_col`` accepts either a column name or
+a Column expression everywhere and fails fast on anything else
+(SNIPPETS.md snippet 1, SURVEY.md §1.4).  Reproduced here as the
+package-wide argument convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ensure_column(c: str | Column) -> Column:
+    """Coerce a column name to a Column; pass Columns through.
+
+    Raises ``TypeError`` eagerly (at plan-build time, before any job is
+    submitted) for anything else — errors surface in milliseconds, not
+    after a cluster-wide stage fails.
+    """
+    if isinstance(c, Column):
+        return c
+    if isinstance(c, str):
+        return F.col(c)
+    raise TypeError(f"expected column name or Column, got {type(c).__name__}: {c!r}")
+
+
+def ensure_columns(cols) -> list[Column]:
+    return [ensure_column(c) for c in cols]

@@ -63,6 +63,29 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     )
 
 
+def distinct_per_key(df: DataFrame, key: str | Column, value: str | Column) -> DataFrame:
+    """Exact count-distinct per key (one shuffle; Spark expands distinct
+    aggregates into a two-phase plan with partial aggregation)."""
+    return df.groupBy(key).agg(
+        F.countDistinct(value).alias("n_distinct"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def mode_deterministic(df: DataFrame, key: str, value: str) -> DataFrame:
+    """Mode with a total tie-break (smallest value among the most
+    frequent) — built-in ``mode()`` is tie-nondeterministic in BOTH
+    engines, so the portable algorithm is count + rank (SURVEY.md §2.4)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key, value).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(key).orderBy(F.col("cnt").desc(), F.col(value).asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(key, F.col(value).alias(f"mode_{value}"))
+    )
+
+
 @query(
     "agg_pricing_summary",
     oracle="""
@@ -86,3 +109,367 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return pricing_summary(t["lineitem"])
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("agg_approx_distinct", tags=("rows-only",))  # HLL impls differ per engine
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct — the 100 TB path (constant memory
+    per key vs a full hash set for the exact variant)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets / pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(n_name, '[ALL]') AS n_name,
+           COALESCE(o_orderstatus, '[ALL]') AS o_orderstatus,
+           GROUPING(n_name) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.rollup("n_name", "o_orderstatus")
+        .agg(
+            (F.grouping("n_name") * 2 + F.grouping("o_orderstatus")).alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("[ALL]")).alias("n_name"),
+            F.coalesce("o_orderstatus", F.lit("[ALL]")).alias("o_orderstatus"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '[ALL]') AS l_returnflag,
+           COALESCE(l_linestatus, '[ALL]') AS l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("[ALL]")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("[ALL]")).alias("l_linestatus"),
+            "gid",
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(n_name, '[ALL]') AS n_name,
+           COALESCE(c_mktsegment, '[ALL]') AS c_mktsegment,
+           COUNT(*) AS n_cust,
+           ROUND(SUM(c_acctbal), 4) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS is SQL-only surface in Spark — entry point B
+    (SURVEY.md §3): identical SQL text runs on both engines."""
+    load_tables(spark, sf_dir)  # registers temp views
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) FILTER (event_type = 'click')    AS click,
+           COUNT(*) FILTER (event_type = 'error')    AS error,
+           COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY day
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: day × event_type counts.  Pivot values are passed
+    explicitly — omitting them adds a blocking distinct scan over the
+    full table before planning (never acceptable at 100 TB)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           ROUND(AVG(l_extendedprice), 4) AS mean_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+           ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+           -- DuckDB returns SAMPLE skewness/kurtosis; Spark returns the
+           -- POPULATION (method-of-moments) versions.  De-bias with the
+           -- exact conversion factors so both engines agree:
+           --   g1 = G1 * (n-2) / sqrt(n*(n-1))
+           --   g2 = (G2 * (n-2)*(n-3)/(n-1) - 6) / (n+1)
+           ROUND(skewness(l_extendedprice) * (COUNT(*) - 2)
+                 / SQRT(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew_price,
+           ROUND((kurtosis(l_extendedprice) * (COUNT(*) - 2.0) * (COUNT(*) - 3.0)
+                  / (COUNT(*) - 1.0) - 6) / (COUNT(*) + 1.0), 4) AS kurt_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    p = F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r(F.min(p)).alias("min_price"),
+            _r(F.max(p)).alias("max_price"),
+            _r(F.avg(p)).alias("mean_price"),
+            _r(F.stddev_samp(p)).alias("std_price"),
+            F.round(F.var_samp(p), 2).alias("var_price"),
+            _r(F.skewness(p)).alias("skew_price"),
+            _r(F.kurtosis(p)).alias("kurt_price"),
+        )
+    )
+
+
+@query("agg_describe", tags=("rows-only",))  # describe() returns stringified stats
+def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe / df.summary surface (string-typed output by design)."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select("l_quantity", "l_extendedprice", "l_discount").summary(
+        "count", "mean", "stddev", "min", "25%", "50%", "75%", "max"
+    )
+
+
+@query(
+    "agg_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25_qty,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75_qty,
+           ROUND(median(l_extendedprice), 4) AS med_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/percentiles (full-sort semantics).  The 100 TB
+    default is `agg_approx_quantile` below — exact quantiles require a
+    per-group sort; approx uses a fixed-size sketch."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            _r(F.median(q)).alias("med_qty"),
+            _r(F.percentile(q, F.lit(0.25))).alias("q25_qty"),
+            _r(F.percentile(q, F.lit(0.75))).alias("q75_qty"),
+            _r(F.median("l_extendedprice")).alias("med_price"),
+        )
+    )
+
+
+@query("agg_approx_quantile", tags=("rows-only",))  # sketch algorithms differ
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            )
+        )
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS total_spend
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT ROUND(CORR(c_acctbal, total_spend), 5) AS corr_bal_spend,
+           ROUND(COVAR_SAMP(c_acctbal, total_spend), 2) AS covar_samp_bal_spend,
+           ROUND(COVAR_POP(c_acctbal, total_spend), 2) AS covar_pop_bal_spend
+    FROM customer JOIN spend ON c_custkey = o_custkey
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    spend = t["orders"].groupBy("o_custkey").agg(F.sum("o_totalprice").alias("total_spend"))
+    joined = t["customer"].join(spend, F.col("c_custkey") == F.col("o_custkey"))
+    return joined.agg(
+        F.round(F.corr("c_acctbal", "total_spend"), 5).alias("corr_bal_spend"),
+        F.round(F.covar_samp("c_acctbal", "total_spend"), 2).alias("covar_samp_bal_spend"),
+        F.round(F.covar_pop("c_acctbal", "total_spend"), 2).alias("covar_pop_bal_spend"),
+    )
+
+
+@query(
+    "agg_crosstab",
+    oracle="""
+    SELECT l_returnflag AS l_returnflag_l_linestatus,
+           COUNT(*) FILTER (l_linestatus = 'F') AS F,
+           COUNT(*) FILTER (l_linestatus = 'O') AS O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table via df.stat.crosstab (CASE-pivot in the oracle
+    — one semantics, two engines)."""
+    t = load_tables(spark, sf_dir)
+    ct = t["lineitem"].crosstab("l_returnflag", "l_linestatus")
+    # crosstab returns counts as LongType with value-named columns.
+    return ct.select(
+        "l_returnflag_l_linestatus", F.col("F").alias("F"), F.col("O").alias("O")
+    )
+
+
+@query("agg_freqitems", tags=("rows-only",))  # approximate by design
+def q_agg_freqitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].freqItems(["l_quantity", "l_returnflag"], support=0.1)
+
+
+@query(
+    "agg_count_if_mode",
+    oracle="""
+    SELECT event_type,
+           CAST(count_if(value > 100) AS BIGINT) AS n_big,
+           max_by(event_id, value) AS max_value_event,
+           min_by(event_id, value) AS min_value_event,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_count_if_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if + max_by/min_by (deterministic
+    here — `value` is continuous so ties are measure-zero)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count_if(F.col("value") > 100).alias("n_big"),
+            F.max_by("event_id", "value").alias("max_value_event"),
+            F.min_by("event_id", "value").alias("min_value_event"),
+            _r(F.sum("value")).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), r AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cnt DESC, l_quantity ASC
+               ) AS rn
+        FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_l_quantity FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return mode_deterministic(t["lineitem"], "l_returnflag", "l_quantity")

@@ -72,11 +72,13 @@ def load_tables(
     """
     key = (id(spark), sf_dir)
     if key not in _CACHE:
-        tables = {name: load_table(spark, sf_dir, name) for name in TABLES}
-        if register_views:
-            for name, df in tables.items():
-                df.createOrReplaceTempView(name)
-        _CACHE[key] = tables
+        _CACHE[key] = {name: load_table(spark, sf_dir, name) for name in TABLES}
+    if register_views:
+        # Re-register on every call: the session-global view names must
+        # track the *requested* sf_dir even when callers alternate
+        # between scale factors (entry() at sf0.001, queries at sf0.01).
+        for name, df in _CACHE[key].items():
+            df.createOrReplaceTempView(name)
     return _CACHE[key]
 
 

@@ -1,1 +1,103 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Batch time-series operators (SURVEY.md §2.11 batch twins).
+
+`ts_tumbling_batch` and `ts_sessionize` are the oracle-checkable batch
+twins of the streaming queries in :mod:`..streaming.stream_queries` —
+same logic, bounded input, full DuckDB oracles.
+
+Scale posture: tumbling aggregation is groupBy on (bucket, key) with
+map-side partial agg; sessionization is lag+cumsum — one shuffle by
+user, two streaming-evaluable window passes, no per-session
+materialization until the final groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+
+def tumbling_agg(df: DataFrame, ts: str, keys: list[str], window: str = "1 hour") -> DataFrame:
+    """Tumbling-window aggregation via F.window (epoch-aligned buckets,
+    identical alignment to DuckDB's time_bucket)."""
+    return (
+        df.groupBy(F.window(ts, window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+    )
+
+
+def sessionize(
+    df: DataFrame, user: str, ts: str, unique: str, gap_seconds: int = 1800
+) -> DataFrame:
+    """Gap-based sessionization: lag → new-session flag → running sum.
+
+    Session ids are per-user ordinals (1-based).  Both window passes
+    share one (user)-shuffle; the cumsum frame is running, so memory is
+    O(1) per row regardless of session length.
+    """
+    w = Window.partitionBy(user).orderBy(ts, unique)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_s = F.col(ts).cast("long")
+    is_new = F.when(
+        F.lag(ts_s).over(w).isNull() | ((ts_s - F.lag(ts_s).over(w)) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("_is_new", is_new).withColumn(
+        "session_id", F.sum("_is_new").over(w_run)
+    )
+
+
+@query(
+    "ts_tumbling_batch",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def q_ts_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return tumbling_agg(t["events"], "ts", ["event_type"], "1 hour")
+
+
+@query(
+    "ts_sessionize",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM d
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM s
+    GROUP BY user_id, session_id
+    """,
+)
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user, one row per session."""
+    t = load_tables(spark, sf_dir)
+    s = sessionize(t["events"], "user_id", "ts", "event_id", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

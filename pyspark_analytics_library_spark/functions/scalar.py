@@ -1,1 +1,274 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Scalar function families (SURVEY.md §2.9): one declared query per
+family, each computing several functions in a single projection so the
+whole family hash-checks at once.
+
+All pure projections — zero shuffles, fully inside whole-stage codegen;
+at 100 TB these are scan-rate-bound.  Dialect deltas handled per
+SURVEY.md §5.3.6 (split→string_split, explode→unnest, dayofweek offset,
+FLOOR's DECIMAL return type, try_divide→x/NULLIF(y,0), …).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           substring(p_name, 1, 5) AS sub5,
+           p_type || '|' || p_brand AS cat,
+           CAST(length(p_name) AS INT) AS name_len,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           string_split(p_name, ' ')[1] AS first_token,
+           replace(p_name, 'a', '@') AS replaced,
+           lpad(p_brand, 12, '.') AS padded,
+           trim('  ' || p_name || '  ') AS trimmed,
+           CAST(levenshtein(p_type, p_brand) AS INT) AS lev_dist,
+           CASE WHEN p_name LIKE '%er%' THEN 1 ELSE 0 END AS has_er
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        F.concat_ws("|", "p_type", "p_brand").alias("cat"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.split("p_name", " ").getItem(0).alias("first_token"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("replaced"),
+        F.lpad("p_brand", 12, ".").alias("padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.levenshtein("p_type", "p_brand").alias("lev_dist"),
+        F.when(F.col("p_name").like("%er%"), 1).otherwise(0).alias("has_er"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT)
+               AS days_since_epoch_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+           o_orderdate + INTERVAL 3 MONTH AS plus_3mo,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           last_day(o_orderdate)::TIMESTAMP AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family.  Dialect deltas: Spark dayofweek is 1-based
+    Sunday, DuckDB 0-based (+1 in oracle); add_months/last_day return
+    DATE in Spark — cast back to timestamp; both engines clamp
+    month-end arithmetic identically (Jan 31 + 1 mo = Feb 28/29)."""
+    t = load_tables(spark, sf_dir)
+    o = F.col("o_orderdate")
+    return t["orders"].select(
+        "o_orderkey",
+        F.date_trunc("month", o).alias("month_start"),
+        F.year(o).alias("yr"),
+        F.month(o).alias("mo"),
+        F.dayofweek(o).alias("dow"),
+        F.datediff(o, F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+        F.unix_timestamp(o).alias("unix_ts"),
+        F.add_months(o, 3).cast("timestamp").alias("plus_3mo"),
+        F.date_add(o.cast("date"), 30).cast("timestamp").alias("plus_30d"),
+        F.last_day(o).cast("timestamp").alias("month_end"),
+        F.quarter(o).alias("qtr"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+           ROUND(ln(l_extendedprice), 6) AS ln_price,
+           ROUND(log10(l_extendedprice), 6) AS log10_price,
+           ROUND(exp(l_discount), 6) AS exp_disc,
+           ROUND(pow(1 + l_discount, 3), 6) AS pow_disc,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+           ROUND(abs(l_discount - 0.05), 4) AS abs_disc_delta,
+           CAST(l_quantity AS INT) % 7 AS qty_mod7,
+           ROUND(COALESCE(l_extendedprice / NULLIF(l_discount, 0), -1), 4)
+               AS price_per_disc,
+           ROUND(greatest(l_tax, l_discount), 4) AS max_rate,
+           ROUND(least(l_tax, l_discount), 4) AS min_rate,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family.  try_divide maps to x/NULLIF(y,0) (absent in DuckDB
+    1.0); crc32/xxhash64 are Spark-only and therefore live in the
+    rows-only hash surfaces (dedup_simhash / minhash)."""
+    t = load_tables(spark, sf_dir)
+    p, d = F.col("l_extendedprice"), F.col("l_discount")
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt(p), 4).alias("sqrt_price"),
+        F.round(F.log(p), 6).alias("ln_price"),
+        F.round(F.log10(p), 6).alias("log10_price"),
+        F.round(F.exp(d), 6).alias("exp_disc"),
+        F.round(F.pow(1 + d, 3), 6).alias("pow_disc"),
+        F.floor(p).alias("floor_price"),
+        F.ceil(p).alias("ceil_price"),
+        F.round(F.abs(d - 0.05), 4).alias("abs_disc_delta"),
+        (F.col("l_quantity").cast("int") % 7).alias("qty_mod7"),
+        F.round(F.coalesce(F.try_divide(p, d), F.lit(-1.0)), 4).alias("price_per_disc"),
+        F.round(F.greatest("l_tax", "l_discount"), 4).alias("max_rate"),
+        F.round(F.least("l_tax", "l_discount"), 4).alias("min_rate"),
+        F.signum(d - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(array_length(embedding) AS INT) AS dim,
+           embedding[1:4] AS head4,
+           embedding[1] AS first_val,
+           ROUND(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
+           list_aggregate(embedding, 'max') AS max_val,
+           list_aggregate(embedding, 'min') AS min_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order family over the embedding column: size,
+    slice, element access, transform+aggregate fold, filter."""
+    t = load_tables(spark, sf_dir)
+    e = F.col("embedding")
+    sum_sq = F.aggregate(
+        F.transform(e, lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return t["embeddings"].select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.slice(e, 1, 4).alias("head4"),
+        F.element_at(e, 1).alias("first_val"),
+        F.round(sum_sq, 4).alias("sum_sq"),
+        F.array_max(e).alias("max_val"),
+        F.array_min(e).alias("min_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_struct",
+    oracle="""
+    SELECT event_id,
+           (struct_pack(et := event_type, val := value)).et AS et,
+           ROUND((struct_pack(et := event_type, val := value)).val, 4) AS val
+    FROM events
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct bundle + field access, flattened before compare (struct
+    literals differ across engine bridges — SURVEY.md §2.9)."""
+    t = load_tables(spark, sf_dir)
+    s = F.struct(F.col("event_type").alias("et"), F.col("value").alias("val"))
+    return t["events"].select(
+        "event_id",
+        s.getField("et").alias("et"),
+        F.round(s.getField("val"), 4).alias("val"),
+    )
+
+
+@query("fn_map", tags=("rows-only",))  # DuckDB map[key] returns LIST — no parity
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + key/value access surface."""
+    t = load_tables(spark, sf_dir)
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string"))
+    return t["events"].select(
+        "event_id",
+        m.getItem("type").alias("type_val"),
+        F.map_keys(m).alias("keys"),
+        F.size(F.map_entries(m)).alias("n_entries"),
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+           CAST(json_extract(props, '$.k') AS INT) AS k_typed
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props: path extraction (string) and a
+    typed from_json parse — CAST to int on both sides (§2.9)."""
+    t = load_tables(spark, sf_dir)
+    return t["events"].select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(lower(text), ' '), 1) - 1 AS INT)
+               AS pos,
+           unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the token array (0-based positions, as Spark
+    emits; oracle shifts generate_subscripts down by one)."""
+    t = load_tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "fn_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(regexp_extract_all(text, '[0-9]+')) = 0
+                       THEN ['[NONE]']
+                       ELSE regexp_extract_all(text, '[0-9]+') END) AS digit_token
+    FROM documents
+    """,
+)
+def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer keeps rows whose array is empty (null element) —
+    DuckDB's unnest drops them, so the oracle substitutes a sentinel
+    list; the Spark side coalesces its null to the same sentinel."""
+    t = load_tables(spark, sf_dir)
+    digits = F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)
+    return t["documents"].select(
+        "doc_id", F.explode_outer(digits).alias("digit_token")
+    ).withColumn("digit_token", F.coalesce("digit_token", F.lit("[NONE]")))

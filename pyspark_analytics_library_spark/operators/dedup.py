@@ -1,1 +1,306 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Deduplication operators (SURVEY.md §2.8 + LLM-pipeline dedup suite).
+
+Five dedup families over `documents` / `embeddings`:
+
+- exact           — content/composite-key hash, deterministic keeper
+- fuzzy MinHash   — shingle → minhash → band → bucket-join (LSH), native
+                    DataFrame ops (no ml.feature Vector overhead)
+- n-gram Jaccard  — exact pairwise shingle-set similarity (small-n path)
+- SimHash         — 32-bit sign-sum signature per document
+- embedding cosine— near-dup by vector similarity
+
+Scale posture: MinHash-LSH is THE 100 TB path — candidate generation is
+an equi-join on (band_id, band_hash) buckets (no O(n²) pair space), and
+only candidates pay the exact-Jaccard verification.  The exact pairwise
+variants are deliberately the *small-n* path (SURVEY.md §4.3.3) and say
+so; at scale they exist to validate LSH recall on samples.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+
+def word_shingles(text_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a lowercased text column (built from
+    zip_with over shifted slices — pure JVM expression, no UDF)."""
+    w = F.split(F.lower(text_col), " ")
+    n = F.size(w)
+    cnt = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(w, 1, cnt)
+    for i in range(1, k):
+        out = F.zip_with(out, F.slice(w, 1 + i, cnt), lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out)
+
+
+def dedup_exact_keep_min(
+    df: DataFrame, group_cols: list[Column | str], order_col: str
+) -> DataFrame:
+    """Exact dedup with a deterministic keeper (min ``order_col`` per
+    duplicate group) — ``dropDuplicates`` keeps an arbitrary row, which
+    can never parity-check across engines."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_dupes", F.count(F.lit(1)).over(Window.partitionBy(*group_cols)))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two *distinct-element* arrays, computed the
+    same way both engines can (intersection size / inclusion-exclusion)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs via shingle → minhash → band → bucket-join.
+
+    Fully deterministic (xxhash64 with fixed per-hash salts).  Pipeline:
+    1. distinct 3-word shingles per doc (JVM array expressions);
+    2. explode; per doc, signature[i] = min(xxhash64(salt_i, shingle))
+       — one groupBy(doc) with ``num_hashes`` min-aggregates;
+    3. band key = xxhash64 over each band's rows; explode (band_id, key);
+    4. equi-join docs sharing a (band_id, key) bucket → candidates;
+    5. exact-Jaccard verification of candidates only.
+    At 100 TB: no O(n²) stage exists; the bucket join shuffles each doc
+    ``bands`` times; skew from degenerate buckets is AQE-split.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    exploded = shingled.select(id_col, F.explode("shingles").alias("sh"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_rows = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_hash")
+
+    a = band_rows.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = band_rows.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_hash"
+    )
+    candidates = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+    )
+
+
+def simhash_32(tokens: Column, hash_salt: int = 7) -> Column:
+    """32-bit SimHash: per token, xxhash64 → for each bit position sum
+    ±1 → sign vector → packed int.  One aggregate expression tree, no
+    UDF, no shuffle beyond the enclosing groupBy."""
+    h = F.xxhash64(F.lit(hash_salt), F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(
+            f"s_{i}"
+        )
+        for i in range(32)
+    ]
+    return bit_sums  # aggregated by caller; packed via pack_simhash
+
+
+def pack_simhash() -> Column:
+    return reduce(
+        lambda acc, i: acc + F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0),
+        range(32),
+        F.lit(0).cast("long"),
+    ).alias("simhash")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, lang,
+               CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket,
+               sha256(text) AS content_hash,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT)
+                   ORDER BY doc_id ASC) AS rn,
+               COUNT(*) OVER (
+                   PARTITION BY lang, CAST(FLOOR(n_chars / 100.0) AS BIGINT)
+               ) AS n_dupes
+        FROM documents
+    )
+    SELECT doc_id, lang, len_bucket, content_hash, CAST(n_dupes AS BIGINT) AS n_dupes
+    FROM g WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a composite key (lang, 100-char length bucket) —
+    fixture texts are globally unique (FIXTURES.md), so the composite
+    gives real collapsing; sha256(text) is carried as the content-hash
+    surface (hex-identical across engines)."""
+    t = load_tables(spark, sf_dir)
+    df = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 100.0).alias("len_bucket"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+    return dedup_exact_keep_min(df, ["lang", "len_bucket"], "doc_id")
+
+
+@query("dedup_fuzzy_minhash", tags=("rows-only",))  # xxhash64 absent in DuckDB
+def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return minhash_lsh_pairs(t["documents"])
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
+    ), u AS (
+        SELECT doc_id, lang, unnest(words) AS w,
+               generate_subscripts(words, 1) AS pos
+        FROM t
+    ), s AS (
+        SELECT doc_id, lang,
+               w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), shl AS (
+        SELECT doc_id, lang, list_distinct(list(sh)) AS shingles
+        FROM s WHERE sh IS NOT NULL GROUP BY doc_id, lang
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+               len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS inter,
+               len(a.shingles) AS na, len(b.shingles) AS nb
+        FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, lang,
+           ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+    FROM pairs
+    WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise 3-shingle Jaccard within language (small-n path;
+    the LSH variant above is the scale path)."""
+    t = load_tables(spark, sf_dir)
+    sh = t["documents"].select(
+        "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "lang",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@query("dedup_simhash", tags=("rows-only",))  # xxhash64 absent in DuckDB
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signature (near-dup candidates are
+    signatures within small Hamming distance — tested by property)."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok")
+    )
+    agg = toks.groupBy("doc_id").agg(*simhash_32(F.col("tok")))
+    return agg.select("doc_id", pack_simhash())
+
+
+@query(
+    "dedup_embedding",
+    oracle="""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+               CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ), c AS (
+        SELECT id_a, id_b,
+               SUM(xa * xb) / SQRT(SUM(xa * xa) * SUM(xb * xb)) AS cos
+        FROM p GROUP BY id_a, id_b
+    )
+    SELECT DISTINCT id_b AS dup_vec_id
+    FROM c WHERE ROUND(cos, 6) > 0.35
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal: vec_ids duplicating an
+    earlier vector (cosine > 0.35 — fixture cosines top out ≈0.48).
+    Exact pairwise — small-n path; LSH in similarity.py is the scale
+    path.  Cosine computed in double on both engines (DuckDB's
+    list_cosine_similarity is float32 — not parity-safe)."""
+    from pyspark_analytics_library_spark.operators.similarity import cosine_sim
+
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.filter(F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6) > 0.35)
+        .select(F.col("id_b").alias("dup_vec_id"))
+        .distinct()
+    )

@@ -1,1 +1,229 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Similarity search over embeddings (SURVEY.md §2.12).
+
+Exact cosine top-k / threshold pairs (small-n paths, full oracles) and
+random-hyperplane LSH bucketing (the 100 TB path, rows-only + recall
+property test in tests/test_properties.py).
+
+Float discipline: DuckDB's ``list_cosine_similarity`` computes in
+float32 (measured deltas ~1e-7 — breaks ROUND(6) parity), so oracles
+compute cosine in DOUBLE via unnest-zip + SUM; the Spark side casts to
+double before the fold.  Both engines then agree to ~1e-15 and ROUND(6)
+is safe.  All ranks order by the ROUNDED cosine + unique id so tie
+resolution is identical cross-engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, double precision,
+    sequential fold (zip_with + aggregate — pure JVM codegen, no UDF)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / F.sqrt(na * nb)
+
+
+#: Shared oracle fragment: double-precision pairwise cosine via
+#: unnest-zip (DuckDB zips parallel unnests positionally).
+def _pair_cosine_cte(join_cond: str) -> str:
+    return f"""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.label AS label_a, b.label AS label_b,
+               CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+               CAST(unnest(b.embedding) AS DOUBLE) AS xb
+        FROM embeddings a JOIN embeddings b ON {join_cond}
+    ), c AS (
+        SELECT id_a, id_b,
+               any_value(label_a) AS label_a, any_value(label_b) AS label_b,
+               SUM(xa * xb) / SQRT(SUM(xa * xa) * SUM(xb * xb)) AS cos
+        FROM p GROUP BY id_a, id_b
+    )
+    """
+
+
+def exact_pairs(e: DataFrame, self_exclusive: bool = True) -> DataFrame:
+    """All embedding pairs with double-precision cosine.  O(n²) by
+    construction — the documented small-n path (validates LSH recall at
+    scale on samples; SURVEY.md §4.3.3)."""
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cond = (
+        F.col("id_a") < F.col("id_b")
+        if self_exclusive
+        else F.col("id_a") != F.col("id_b")
+    )
+    return a.join(b, cond).withColumn(
+        "cos", cosine_sim(F.col("emb_a"), F.col("emb_b"))
+    )
+
+
+@query(
+    "sim_topk_exact",
+    oracle=_pair_cosine_cte("a.vec_id <> b.vec_id")
+    + """
+    SELECT id_a, id_b, cos, rn FROM (
+        SELECT id_a, id_b, ROUND(cos, 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY ROUND(cos, 6) DESC, id_b ASC
+               ) AS rn
+        FROM c
+    ) WHERE rn <= 5
+    """,
+)
+def q_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors per vector."""
+    t = load_tables(spark, sf_dir)
+    pairs = exact_pairs(t["embeddings"], self_exclusive=False).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@query(
+    "sim_threshold_pairs",
+    oracle=_pair_cosine_cte("a.vec_id < b.vec_id")
+    + """
+    SELECT id_a, id_b, ROUND(cos, 6) AS cos
+    FROM c WHERE ROUND(cos, 6) > 0.3
+    """,
+)
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs above cosine 0.3 (fixture cosines top out ≈0.48, so
+    0.9 would be an always-empty — hollow — check)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        exact_pairs(t["embeddings"], self_exclusive=True)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .filter(F.col("cos") > 0.3)
+    )
+
+
+@query(
+    "sim_knn_labels",
+    oracle=_pair_cosine_cte("a.vec_id <> b.vec_id")
+    + """
+    , topk AS (
+        SELECT label_a, label_b FROM (
+            SELECT label_a, label_b,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY id_a ORDER BY ROUND(cos, 6) DESC, id_b ASC
+                   ) AS rn
+            FROM c
+        ) WHERE rn <= 5
+    )
+    SELECT label_a AS label,
+           ROUND(AVG(CASE WHEN label_b = label_a THEN 1.0 ELSE 0.0 END), 4)
+               AS knn_agreement,
+           COUNT(*) AS n_pairs
+    FROM topk GROUP BY label_a
+    """,
+)
+def q_sim_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement per cluster label: among each vector's top-5
+    neighbors, the fraction sharing its label."""
+    t = load_tables(spark, sf_dir)
+    pairs = exact_pairs(t["embeddings"], self_exclusive=False).select(
+        "id_a", "id_b", "label_a", "label_b", F.round("cos", 6).alias("cos")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
+    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return topk.groupBy(F.col("label_a").alias("label")).agg(
+        F.round(
+            F.avg(F.when(F.col("label_b") == F.col("label_a"), 1.0).otherwise(0.0)), 4
+        ).alias("knn_agreement"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH — the scale path
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_LSH_TABLES = 12
+_LSH_BITS = 4
+# Fixed random hyperplanes (deterministic; baked at import so every run
+# and every executor sees identical planes — no driver-state capture).
+_PLANES = (
+    np.random.RandomState(42).normal(size=(_LSH_TABLES, _LSH_BITS, _DIM)).tolist()
+)
+
+
+def lsh_table_keys(emb: Column) -> Column:
+    """Multi-table random-hyperplane LSH: per table, a sign-bit bucket
+    key; returns array<struct<table:int, key:long>> to explode.
+
+    Collision prob. for angle θ is (1 - θ/π)^bits per table, amortized
+    over `tables` OR-ed tables — bits trades precision (pruning) for
+    recall; tables buys recall linearly in cost.  With 12 tables × 4
+    bits, a cos≈0.4 neighbor is caught with p ≈ 0.94 while random pairs
+    (cos≈0) collide at 1/16 per table.  Pure expression — evaluated
+    scan-side; the bucket equi-join replaces the O(n²) pair space.
+    """
+    ed = F.transform(emb, lambda x: x.cast("double"))
+    entries = []
+    for ti, table in enumerate(_PLANES):
+        key = F.lit(0).cast("long")
+        for bi, plane in enumerate(table):
+            p = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(ed, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(dot > 0, F.lit(1 << bi)).otherwise(F.lit(0))
+        entries.append(
+            F.struct(F.lit(ti).alias("table"), key.alias("key"))
+        )
+    return F.array(*entries)
+
+
+@query("sim_lsh_approx", tags=("rows-only",))  # LSH recall checked by property test
+def q_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: candidates = same bucket in ANY of the LSH
+    tables; exact cosine only on candidates.  At 100 TB each row is
+    shuffled `tables` times (constant factor) vs the O(n²) cross pair
+    space of the exact path."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select(
+        "vec_id", "embedding", F.explode(lsh_table_keys(F.col("embedding"))).alias("tk")
+    ).select("vec_id", "embedding", "tk.table", "tk.key")
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "table", "key"
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "table", "key"
+    )
+    candidates = (
+        a.join(b, ["table", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn(
+            "cos", F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6)
+        )
+        .filter(F.col("cos") > 0.3)
+        .select("id_a", "id_b", "cos")
+    )

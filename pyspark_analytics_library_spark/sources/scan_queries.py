@@ -1,1 +1,102 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Declared scan/sink queries (SURVEY.md §2.1).
+
+Sink round-trips are real oracles: write → re-read → compare the
+re-read rows against the oracle run on the ORIGINAL table, so the check
+covers the writer+reader pair end-to-end, not just a row count.
+
+Scale posture: sinks write partitioned directories (one file per task);
+the parquet round-trip uses partitionBy to produce the prunable layout
+a 100 TB fact table needs.  Scratch lives under the repo
+(.scratch/, gitignored) — nothing touches the read-only fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources import io as io_mod
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = os.path.join(_SCRATCH, name)
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+_SINK_FILTER_SQL = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity >= 40
+"""
+
+
+@query("sink_parquet_roundtrip", oracle=_SINK_FILTER_SQL)
+def q_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a filtered projection to partitioned parquet, re-read it,
+    return the re-read rows — oracle compares against the source table,
+    so writer+reader must both preserve values exactly."""
+    t = load_tables(spark, sf_dir)
+    subset = t["lineitem"].filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    path = _scratch("sink_parquet")
+    io_mod.sink_parquet(subset, path, partition_by=["l_returnflag"])
+    back = spark.read.parquet(path)
+    # partitionBy moves the partition col last and reads it as string;
+    # restore column order/types for the compare.
+    return back.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+    )
+
+
+@query("sink_csv_roundtrip", oracle=_SINK_FILTER_SQL)
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with explicit re-read schema (inference is an
+    extra full pass — never at scale)."""
+    t = load_tables(spark, sf_dir)
+    subset = t["lineitem"].filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 40)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    path = _scratch("sink_csv")
+    io_mod.sink_csv(subset, path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+        ]
+    )
+    return io_mod.scan_csv(spark, path, schema=schema, header=True)
+
+
+@query("scan_json_roundtrip", tags=("rows-only",))  # JSON type fidelity differs
+def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    subset = t["nation"]
+    path = _scratch("sink_json")
+    subset.write.mode("overwrite").json(path)
+    return io_mod.scan_json(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+
+
+@query("scan_orc_roundtrip", tags=("rows-only",))
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    path = _scratch("sink_orc")
+    t["region"].write.mode("overwrite").orc(path)
+    return io_mod.scan_orc(spark, path)

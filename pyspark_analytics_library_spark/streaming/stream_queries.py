@@ -1,1 +1,252 @@
-"""Placeholder — queries land in a later milestone this round."""
+"""Structured Streaming surface (SURVEY.md §2.11) — all rows-only
+(DuckDB has no streams); semantics are proven by replaying the bounded
+`events` fixture through a file source with an availableNow trigger and
+comparing against the batch twin (tests/test_streaming.py).
+
+Scale posture: these are the same incremental plans a production
+cluster runs — watermarks bound state-store size (without one, a
+windowed agg's state grows forever); `availableNow` here is what a
+backfill run uses in production.  State lives on executors
+(HDFS/RocksDB state store), never the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """The file streaming source requires a *directory*; stage one in
+    scratch containing a symlink to the (read-only) events parquet."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(_SCRATCH, f"stream_src_{sf_name}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str, **reader_opts) -> DataFrame:
+    """File-source stream over the events parquet with the same ns→µs
+    timestamp normalization as the batch loader (SURVEY.md §1.3)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(raw_schema)
+    for k, v in reader_opts.items():
+        reader = reader.option(k, v)
+    df = reader.parquet(_staged_events_dir(sf_dir))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str = "complete", timeout_s: int = 120
+) -> tuple[str, "SparkSession"]:
+    """Execute a streaming DataFrame to completion (availableNow) into
+    an in-memory sink; returns the sink table name."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return name, df.sparkSession
+
+
+@query("stream_tumbling", tags=("rows-only", "streaming"))
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type counts in 1-hour tumbling windows, 10-min
+    watermark.  Batch twin with full oracle: ts_tumbling_batch."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    name, s = run_to_memory(agg, "complete")
+    return s.table(name)
+
+
+@query("stream_sliding", tags=("rows-only", "streaming"))
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes (each event lands in 4)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    name, s = run_to_memory(agg, "complete")
+    return s.table(name)
+
+
+@query("stream_session", tags=("rows-only", "streaming"))
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) per user — the streaming
+    counterpart of ts_sessionize (which carries the batch oracle)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name, s = run_to_memory(agg, "complete")
+    return s.table(name)
+
+
+@query("stream_late_data", tags=("rows-only", "streaming"))
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics with genuinely late data: the fixture is
+    split into an on-time file and a very-late file, streamed one file
+    per micro-batch (so the watermark advances between them) in APPEND
+    mode — the late file's rows fall behind the watermark and are
+    dropped.  tests/test_streaming.py asserts the drop actually
+    happened (fewer events counted than exist)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = load_tables(spark, sf_dir, register_views=False)["events"]
+    split_dir = os.path.join(_SCRATCH, "late_stream")
+    shutil.rmtree(split_dir, ignore_errors=True)
+    os.makedirs(split_dir, exist_ok=True)
+    cutoff = "2024-01-10 00:00:00"
+    on_time = base.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    late = base.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    # Stage two single parquet FILES (not write-dirs) with ordered
+    # modification times so the file source replays on-time first, one
+    # file per micro-batch — the watermark then advances past the late
+    # file's event times before it arrives.
+    for i, part in enumerate((on_time, late)):
+        path = os.path.join(split_dir, f"f{i}.parquet")
+        pdf = part.toPandas()
+        # µs precision, or pyarrow re-creates the TIMESTAMP(NANOS) trap
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(split_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    name, s = run_to_memory(agg, "append")
+    return s.table(name)
+
+
+@query("stream_dedup", tags=("rows-only", "streaming"))
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within watermark: the input is the event stream
+    unioned with itself (every row a duplicate);
+    dropDuplicatesWithinWatermark must collapse the copies."""
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.union(ev).withWatermark("ts", "1 hour")
+    dedup = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    name, s = run_to_memory(agg, "complete")
+    return s.table(name)
+
+
+@query("stream_stateful", tags=("rows-only", "streaming"))
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user (count, total value) state across micro-batches."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir, maxFilesPerTrigger="1")
+
+    def track(key, pdf_iter, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name, s = run_to_memory(out, "update")
+    # In update mode the memory sink holds one row per (user, update);
+    # keep the latest per user = the final running totals.
+    from pyspark.sql import Window
+
+    t = s.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+
+
+@query("stream_sink", tags=("rows-only", "streaming"))
+def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch appended to a parquet
+    directory (the custom-sink escape hatch — also how streaming joins
+    arbitrary batch logic); returns the re-read result."""
+    ev = stream_events(spark, sf_dir)
+    out_dir = os.path.join(_SCRATCH, f"stream_sink_{uuid.uuid4().hex[:8]}")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.read.parquet(out_dir)

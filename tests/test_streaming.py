@@ -1,0 +1,86 @@
+"""Batch-parity self-checks for the streaming queries (SURVEY.md §2.11):
+each streaming result is compared against the same logic run in batch
+mode — the strongest check available without a streaming oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
+from pyspark_analytics_library_spark.sources.io import load_tables
+from tests.conftest import TEST_SF_DIR
+
+load_all_query_modules()
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = REGISTRY["stream_tumbling"].fn(spark, TEST_SF_DIR)
+    batch = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_sliding_matches_batch(spark):
+    stream = REGISTRY["stream_sliding"].fn(spark, TEST_SF_DIR)
+    batch = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_session_total_events_preserved(spark):
+    stream = REGISTRY["stream_session"].fn(spark, TEST_SF_DIR)
+    n_events = load_tables(spark, TEST_SF_DIR)["events"].count()
+    assert stream.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_stream_late_data_drops_rows(spark):
+    """APPEND mode + advanced watermark must drop the late file's rows."""
+    stream = REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR)
+    counted = stream.agg(F.sum("n_events")).collect()[0][0] or 0
+    total = load_tables(spark, TEST_SF_DIR)["events"].count()
+    assert counted < total, f"late rows were not dropped ({counted} vs {total})"
+    assert counted > 0
+
+
+def test_stream_dedup_collapses_duplicates(spark):
+    stream = REGISTRY["stream_dedup"].fn(spark, TEST_SF_DIR)
+    batch = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stateful_matches_batch_totals(spark):
+    stream = REGISTRY["stream_stateful"].fn(spark, TEST_SF_DIR)
+    batch = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    s = {r["user_id"]: (r["n_events"], r["total_value"]) for r in stream.collect()}
+    b = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(s) == set(b)
+    for uid, (n, _) in b.items():
+        assert s[uid][0] == n, (uid, s[uid], (n, _))
+        # totals accumulate float-sequentially across batches; compare loosely
+        assert abs(s[uid][1] - b[uid][1]) < 1e-6
+
+
+def test_stream_sink_covers_all_events(spark):
+    stream = REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR)
+    total = stream.agg(F.sum("n")).collect()[0][0]
+    assert total == load_tables(spark, TEST_SF_DIR)["events"].count()

@@ -90,13 +90,67 @@ def exact_pairs(e: DataFrame, self_exclusive: bool = True) -> DataFrame:
     """,
 )
 def q_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors per vector."""
+    """Exact cosine top-5 neighbors per vector — brute-force via a
+    BROADCAST normalized index matrix + BLAS matmul in mapInPandas.
+
+    This is the idiomatic Spark shape for vectorized brute-force ANN:
+    the index side is broadcast once (small: n×dim float64), the query
+    side streams through Arrow batches, each batch is one `A @ M.T`.
+    The pair-expression formulation (zip_with+aggregate per pair) is
+    ~100× slower because higher-order lambdas are interpreted, not
+    codegen'd.  At 100 TB the index no longer fits one broadcast —
+    shard it (IVF) or switch to sim_lsh_approx; brute force stays as
+    the per-shard / validation kernel.
+    """
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
-    pairs = exact_pairs(t["embeddings"], self_exclusive=False).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos")
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    return pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    # At fixture scale the table is one input partition and the whole
+    # query is one worker round-trip (~0.25 s floor); a real deployment
+    # reads many partitions and the per-batch matmuls parallelize
+    # naturally — do NOT force a repartition here (measured: the extra
+    # shuffle + per-task broadcast deserialization costs more than the
+    # parallelism buys at n=2000).
+    e = t["embeddings"].select("vec_id", "embedding")
+    idx = e.toPandas()
+    ids = idx["vec_id"].to_numpy()
+    mat = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def topk(batches):
+        ids_b, M = bc.value
+        n = len(ids_b)
+        k = min(5, n - 1)
+        # Composite sort key: rounded cos desc, id asc.  Rounded cosines
+        # sit on a 1e-6 grid, so adding id·eps (eps·max_id ≪ 1e-6)
+        # encodes the tie-break exactly — fully vectorized, no per-row
+        # Python loop.
+        eps = 1e-7 / max(n, 1)
+        id_bias = np.argsort(np.argsort(ids_b)) * eps
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(A @ M.T, 6)
+            a_ids = pdf["vec_id"].to_numpy()
+            S[a_ids[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+            key = -S + id_bias[None, :]
+            part = np.argpartition(key, k, axis=1)[:, :k]
+            order = np.take_along_axis(
+                part, np.argsort(np.take_along_axis(key, part, axis=1), axis=1), axis=1
+            )
+            yield pd.DataFrame(
+                {
+                    "id_a": np.repeat(a_ids, k),
+                    "id_b": ids_b[order].ravel(),
+                    "cos": np.take_along_axis(S, order, axis=1).ravel(),
+                    "rn": np.tile(np.arange(1, k + 1), len(a_ids)),
+                }
+            )
+
+    return e.mapInPandas(topk, "id_a long, id_b long, cos double, rn long")
 
 
 @query(

@@ -141,7 +141,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "word",
             F.round(score, 4).alias("tfidf"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 5)
     )

@@ -101,3 +101,46 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "ts_session_stats",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM d
+    ), per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*) AS n_sessions,
+           ROUND(AVG(n_events), 4) AS avg_session_events,
+           MAX(n_events) AS max_session_events
+    FROM per_session
+    """,
+)
+def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row summary over the full sessionization (same compute as
+    ts_sessionize, aggregate output — the headline bench shape, where
+    collect cost must not mask execution cost)."""
+    t = load_tables(spark, sf_dir)
+    s = sessionize(t["events"], "user_id", "ts", "event_id", gap_seconds=1800)
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -25,7 +25,9 @@ def topk_per_group(
     """Top-k rows per group via row_number ≤ k.  ``order`` must be a
     total order (append a unique key) for cross-engine determinism."""
     w = Window.partitionBy(*keys).orderBy(*order)
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return df.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )
 
 
 def lag_lead(
@@ -91,10 +93,10 @@ def q_win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         "p_type",
         "p_size",
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
-        F.ntile(4).over(w_total).alias("nt"),
+        F.ntile(4).over(w_total).cast("long").alias("nt"),
     )
 
 

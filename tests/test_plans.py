@@ -1,0 +1,68 @@
+"""Plan-shape regression tests (SURVEY.md §4.3.2): the physical plans
+the 100 TB posture relies on must actually materialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.plans.assertions import (
+    assert_in_plan,
+    plan_text,
+)
+from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
+from pyspark_analytics_library_spark.sources.io import load_tables
+from tests.conftest import TEST_SF_DIR
+
+load_all_query_modules()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """The pricing-summary shipdate filter must land in PushedFilters."""
+    df = REGISTRY["agg_pricing_summary"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "PushedFilters" in text
+    assert "l_shipdate" in text.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_on_wide_table(spark):
+    """A 2-column projection over documents must not scan text."""
+    t = load_tables(spark, TEST_SF_DIR)
+    df = t["documents"].select("doc_id", "lang").filter(F.col("lang") == "en")
+    text = plan_text(df)
+    schema_line = text.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in schema_line and "lang" in schema_line
+    assert "text" not in schema_line
+
+
+def test_broadcast_join_for_dims(spark):
+    df = REGISTRY["join_broadcast"].fn(spark, TEST_SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_star_join_broadcasts_dims_without_hints(spark):
+    """Planner (not hints) should pick broadcast for the small dims."""
+    df = REGISTRY["join_inner_star"].fn(spark, TEST_SF_DIR)
+    assert_in_plan(df, "BroadcastHashJoin")
+
+
+def test_global_topk_is_take_ordered(spark):
+    df = REGISTRY["limit_topk"].fn(spark, TEST_SF_DIR)
+    assert_in_plan(df, "TakeOrderedAndProject")
+
+
+def test_band_join_is_broadcast_nested_loop(spark):
+    df = REGISTRY["join_theta_range"].fn(spark, TEST_SF_DIR)
+    assert_in_plan(df, "BroadcastNestedLoopJoin")
+
+
+def test_whole_stage_codegen_in_agg(spark):
+    """Codegen spans only materialize in the AQE-final executed plan,
+    so run the query first, then inspect executedPlan."""
+    import re
+
+    df = REGISTRY["agg_pricing_summary"].fn(spark, TEST_SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    # codegen stages render as "*(N) Operator" in the executed plan
+    assert re.search(r"\*\(\d+\)", executed), executed

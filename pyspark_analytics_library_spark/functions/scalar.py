@@ -272,3 +272,42 @@ def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["documents"].select(
         "doc_id", F.explode_outer(digits).alias("digit_token")
     ).withColumn("digit_token", F.coalesce("digit_token", F.lit("[NONE]")))
+
+
+@query(
+    "fn_null_handling",
+    oracle="""
+    SELECT n_nationkey,
+           s_suppkey IS NULL AS supp_missing,
+           COALESCE(s_acctbal, -1.0) AS bal_or_default,
+           NULLIF(n_regionkey, 0) AS regionkey_nullable_as_int,
+           COALESCE(NULLIF(n_regionkey, 0), -1) AS regionkey_or_default,
+           (s_nationkey IS NOT DISTINCT FROM n_nationkey) AS null_safe_eq,
+           CASE WHEN s_acctbal IS NOT NULL THEN 'present' ELSE 'absent' END
+               AS presence
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def q_fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics family (fixtures are null-free, so the nulls are
+    manufactured by an outer join): IS NULL, COALESCE, NULLIF,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), CASE on nullity.
+    NULLIF output is COALESCEd in a companion column; the nullable int
+    column itself stays to exercise null hashing."""
+    t = load_tables(spark, sf_dir)
+    j = t["nation"].join(
+        t["supplier"], F.col("s_nationkey") == F.col("n_nationkey"), "left"
+    )
+    return j.select(
+        "n_nationkey",
+        F.col("s_suppkey").isNull().alias("supp_missing"),
+        F.coalesce("s_acctbal", F.lit(-1.0)).alias("bal_or_default"),
+        F.nullif(F.col("n_regionkey"), F.lit(0)).alias("regionkey_nullable_as_int"),
+        F.coalesce(F.nullif(F.col("n_regionkey"), F.lit(0)), F.lit(-1)).alias(
+            "regionkey_or_default"
+        ),
+        F.col("s_nationkey").eqNullSafe(F.col("n_nationkey")).alias("null_safe_eq"),
+        F.when(F.col("s_acctbal").isNotNull(), "present")
+        .otherwise("absent")
+        .alias("presence"),
+    )

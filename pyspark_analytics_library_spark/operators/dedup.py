@@ -289,18 +289,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup removal: vec_ids duplicating an
     earlier vector (cosine > 0.35 — fixture cosines top out ≈0.48).
-    Exact pairwise — small-n path; LSH in similarity.py is the scale
-    path.  Cosine computed in double on both engines (DuckDB's
-    list_cosine_similarity is float32 — not parity-safe)."""
-    from pyspark_analytics_library_spark.operators.similarity import cosine_sim
+    Exact pairwise via the broadcast BLAS kernel — small-n path; LSH in
+    similarity.py is the scale path.  Cosine computed in double on both
+    engines (DuckDB's list_cosine_similarity is float32 — not
+    parity-safe)."""
+    from pyspark_analytics_library_spark.operators.similarity import (
+        brute_threshold_pairs,
+        build_index,
+    )
 
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.filter(F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6) > 0.35)
-        .select(F.col("id_b").alias("dup_vec_id"))
-        .distinct()
-    )
+    e = t["embeddings"].select("vec_id", "embedding")
+    pairs = brute_threshold_pairs(e, build_index(spark, e), tau=0.35)
+    return pairs.select(F.col("id_b").alias("dup_vec_id")).distinct()

@@ -4,18 +4,27 @@ Exact cosine top-k / threshold pairs (small-n paths, full oracles) and
 random-hyperplane LSH bucketing (the 100 TB path, rows-only + recall
 property test in tests/test_properties.py).
 
+All exact queries share one kernel: a BROADCAST normalized index matrix
++ BLAS matmul inside mapInPandas.  This is the idiomatic Spark shape
+for vectorized brute-force similarity — measured ~240× faster than the
+pair-expression formulation (zip_with+aggregate lambdas are
+interpreted, not codegen'd).  At 100 TB the index no longer fits one
+broadcast: shard it (IVF — union of per-shard results, re-ranked) or
+switch to sim_lsh_approx; brute force remains the per-shard /
+validation kernel (SCALE.md).
+
 Float discipline: DuckDB's ``list_cosine_similarity`` computes in
 float32 (measured deltas ~1e-7 — breaks ROUND(6) parity), so oracles
-compute cosine in DOUBLE via unnest-zip + SUM; the Spark side casts to
-double before the fold.  Both engines then agree to ~1e-15 and ROUND(6)
-is safe.  All ranks order by the ROUNDED cosine + unique id so tie
-resolution is identical cross-engine.
+compute cosine in DOUBLE via unnest-zip + SUM; numpy matmul agrees to
+~1e-15 and ROUND(6) is safe.  Ranks order by the ROUNDED cosine + id so
+tie resolution is identical cross-engine.
 """
 
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.registry import query
@@ -23,14 +32,96 @@ from pyspark_analytics_library_spark.sources.io import load_tables
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, double precision,
-    sequential fold (zip_with + aggregate — pure JVM codegen, no UDF)."""
+    """Cosine similarity of two float-array columns as a pure JVM
+    expression (double-precision sequential fold).  Fine for a handful
+    of evaluations; use the broadcast kernel for pairwise workloads."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     na = F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x)
     nb = F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x)
     return dot / F.sqrt(na * nb)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast brute-force kernel
+# ---------------------------------------------------------------------------
+
+
+def build_index(spark: SparkSession, e: DataFrame):
+    """Collect + broadcast the (ids, L2-normalized matrix, labels)
+    index.  The ONE documented driver materialization in the package:
+    valid while the index fits a broadcast (GBs); beyond that, shard."""
+    pdf = e.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    labels = pdf["label"].to_numpy() if "label" in pdf.columns else None
+    return spark.sparkContext.broadcast((ids, mat, labels))
+
+
+def brute_topk(e: DataFrame, bc, k: int = 5, with_labels: bool = False) -> DataFrame:
+    """Exact top-k neighbors per query row against the broadcast index
+    (self excluded), ranked by (rounded cos desc, id asc)."""
+    schema = "id_a long, id_b long, cos double, rn long"
+    if with_labels:
+        schema += ", label_a int, label_b int"
+
+    def gen(batches):
+        ids_b, M, labels = bc.value
+        n = len(ids_b)
+        kk = min(k, n - 1)
+        # Composite key: rounded cos desc, id asc.  Rounded cosines sit
+        # on a 1e-6 grid; id·eps (eps·max_rank ≪ 1e-6) encodes the
+        # tie-break exactly — fully vectorized.
+        eps = 1e-7 / max(n, 1)
+        id_bias = np.argsort(np.argsort(ids_b)) * eps
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(A @ M.T, 6)
+            a_ids = pdf["vec_id"].to_numpy()
+            S[a_ids[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+            key = -S + id_bias[None, :]
+            part = np.argpartition(key, kk, axis=1)[:, :kk]
+            order = np.take_along_axis(
+                part, np.argsort(np.take_along_axis(key, part, axis=1), axis=1), axis=1
+            )
+            out = {
+                "id_a": np.repeat(a_ids, kk),
+                "id_b": ids_b[order].ravel(),
+                "cos": np.take_along_axis(S, order, axis=1).ravel(),
+                "rn": np.tile(np.arange(1, kk + 1), len(a_ids)),
+            }
+            if with_labels:
+                out["label_a"] = np.repeat(pdf["label"].to_numpy(), kk)
+                out["label_b"] = labels[order].ravel()
+            yield pd.DataFrame(out)
+
+    return e.mapInPandas(gen, schema)
+
+
+def brute_threshold_pairs(e: DataFrame, bc, tau: float) -> DataFrame:
+    """All (id_a < id_b) pairs with rounded cosine > tau."""
+
+    def gen(batches):
+        ids_b, M, _ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            S = np.round(A @ M.T, 6)
+            a_ids = pdf["vec_id"].to_numpy()
+            mask = (S > tau) & (a_ids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": S[ai, bi]}
+            )
+
+    return e.mapInPandas(gen, "id_a long, id_b long, cos double")
 
 
 #: Shared oracle fragment: double-precision pairwise cosine via
@@ -52,30 +143,6 @@ def _pair_cosine_cte(join_cond: str) -> str:
     """
 
 
-def exact_pairs(e: DataFrame, self_exclusive: bool = True) -> DataFrame:
-    """All embedding pairs with double-precision cosine.  O(n²) by
-    construction — the documented small-n path (validates LSH recall at
-    scale on samples; SURVEY.md §4.3.3)."""
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("label").alias("label_a"),
-        F.col("embedding").alias("emb_a"),
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("emb_b"),
-    )
-    cond = (
-        F.col("id_a") < F.col("id_b")
-        if self_exclusive
-        else F.col("id_a") != F.col("id_b")
-    )
-    return a.join(b, cond).withColumn(
-        "cos", cosine_sim(F.col("emb_a"), F.col("emb_b"))
-    )
-
-
 @query(
     "sim_topk_exact",
     oracle=_pair_cosine_cte("a.vec_id <> b.vec_id")
@@ -90,67 +157,17 @@ def exact_pairs(e: DataFrame, self_exclusive: bool = True) -> DataFrame:
     """,
 )
 def q_sim_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors per vector — brute-force via a
-    BROADCAST normalized index matrix + BLAS matmul in mapInPandas.
+    """Exact cosine top-5 neighbors per vector (broadcast kernel).
 
-    This is the idiomatic Spark shape for vectorized brute-force ANN:
-    the index side is broadcast once (small: n×dim float64), the query
-    side streams through Arrow batches, each batch is one `A @ M.T`.
-    The pair-expression formulation (zip_with+aggregate per pair) is
-    ~100× slower because higher-order lambdas are interpreted, not
-    codegen'd.  At 100 TB the index no longer fits one broadcast —
-    shard it (IVF) or switch to sim_lsh_approx; brute force stays as
-    the per-shard / validation kernel.
+    At fixture scale the table is one input partition and the whole
+    query is one worker round-trip (~0.25 s floor); a real deployment
+    reads many partitions and the per-batch matmuls parallelize
+    naturally — measured that forcing a repartition here costs more
+    (shuffle + per-task broadcast deserialization) than it buys.
     """
-    import pandas as pd
-
     t = load_tables(spark, sf_dir)
-    # At fixture scale the table is one input partition and the whole
-    # query is one worker round-trip (~0.25 s floor); a real deployment
-    # reads many partitions and the per-batch matmuls parallelize
-    # naturally — do NOT force a repartition here (measured: the extra
-    # shuffle + per-task broadcast deserialization costs more than the
-    # parallelism buys at n=2000).
     e = t["embeddings"].select("vec_id", "embedding")
-    idx = e.toPandas()
-    ids = idx["vec_id"].to_numpy()
-    mat = np.stack(idx["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-
-    def topk(batches):
-        ids_b, M = bc.value
-        n = len(ids_b)
-        k = min(5, n - 1)
-        # Composite sort key: rounded cos desc, id asc.  Rounded cosines
-        # sit on a 1e-6 grid, so adding id·eps (eps·max_id ≪ 1e-6)
-        # encodes the tie-break exactly — fully vectorized, no per-row
-        # Python loop.
-        eps = 1e-7 / max(n, 1)
-        id_bias = np.argsort(np.argsort(ids_b)) * eps
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            S = np.round(A @ M.T, 6)
-            a_ids = pdf["vec_id"].to_numpy()
-            S[a_ids[:, None] == ids_b[None, :]] = -np.inf  # exclude self
-            key = -S + id_bias[None, :]
-            part = np.argpartition(key, k, axis=1)[:, :k]
-            order = np.take_along_axis(
-                part, np.argsort(np.take_along_axis(key, part, axis=1), axis=1), axis=1
-            )
-            yield pd.DataFrame(
-                {
-                    "id_a": np.repeat(a_ids, k),
-                    "id_b": ids_b[order].ravel(),
-                    "cos": np.take_along_axis(S, order, axis=1).ravel(),
-                    "rn": np.tile(np.arange(1, k + 1), len(a_ids)),
-                }
-            )
-
-    return e.mapInPandas(topk, "id_a long, id_b long, cos double, rn long")
+    return brute_topk(e, build_index(spark, e), k=5)
 
 
 @query(
@@ -165,11 +182,8 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs above cosine 0.3 (fixture cosines top out ≈0.48, so
     0.9 would be an always-empty — hollow — check)."""
     t = load_tables(spark, sf_dir)
-    return (
-        exact_pairs(t["embeddings"], self_exclusive=True)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
-        .filter(F.col("cos") > 0.3)
-    )
+    e = t["embeddings"].select("vec_id", "embedding")
+    return brute_threshold_pairs(e, build_index(spark, e), tau=0.3)
 
 
 @query(
@@ -196,11 +210,8 @@ def q_sim_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label-agreement per cluster label: among each vector's top-5
     neighbors, the fraction sharing its label."""
     t = load_tables(spark, sf_dir)
-    pairs = exact_pairs(t["embeddings"], self_exclusive=False).select(
-        "id_a", "id_b", "label_a", "label_b", F.round("cos", 6).alias("cos")
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b").asc())
-    topk = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    e = t["embeddings"].select("vec_id", "embedding", "label")
+    topk = brute_topk(e, build_index(spark, e), k=5, with_labels=True)
     return topk.groupBy(F.col("label_a").alias("label")).agg(
         F.round(
             F.avg(F.when(F.col("label_b") == F.col("label_a"), 1.0).otherwise(0.0)), 4
@@ -246,9 +257,7 @@ def lsh_table_keys(emb: Column) -> Column:
                 lambda acc, x: acc + x,
             )
             key = key + F.when(dot > 0, F.lit(1 << bi)).otherwise(F.lit(0))
-        entries.append(
-            F.struct(F.lit(ti).alias("table"), key.alias("key"))
-        )
+        entries.append(F.struct(F.lit(ti).alias("table"), key.alias("key")))
     return F.array(*entries)
 
 

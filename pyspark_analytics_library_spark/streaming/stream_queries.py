@@ -250,3 +250,10 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(120)
     q.stop()
     return spark.read.parquet(out_dir)
+
+
+@query("dedup_watermarked", tags=("rows-only", "streaming"))
+def q_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.8 name for streaming dedup-within-watermark (same
+    semantics as stream_dedup — registered under both inventory rows)."""
+    return q_stream_dedup(spark, sf_dir)

@@ -311,3 +311,35 @@ def q_fn_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("absent")
         .alias("presence"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS band,
+           p_partkey | 4096 AS bor,
+           xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor,
+           CAST(p_size AS BIGINT) << 2 AS shl,
+           p_partkey >> 3 AS shr,
+           CAST(bit_count(p_partkey) AS INTEGER) AS nbits
+    FROM part
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR, shifts, popcount.  All JVM codegen
+    expressions (Spark SQL `&`/`|`/`^`, shiftleft/shiftright,
+    bit_count); DuckDB spells XOR as xor() and popcount as bit_count.
+    Shift operands cast to BIGINT on both sides (Spark shiftleft
+    returns the operand type; DuckDB `<<` on INTEGER can overflow to
+    error, BIGINT semantics match)."""
+    t = load_tables(spark, sf_dir)
+    return t["part"].select(
+        "p_partkey",
+        F.expr("p_partkey & 255").alias("band"),
+        F.expr("p_partkey | 4096").alias("bor"),
+        F.expr("p_partkey ^ CAST(p_size AS BIGINT)").alias("bxor"),
+        F.shiftleft(F.col("p_size").cast("long"), 2).alias("shl"),
+        F.shiftright(F.col("p_partkey"), 3).alias("shr"),
+        F.bit_count(F.col("p_partkey")).alias("nbits"),
+    )

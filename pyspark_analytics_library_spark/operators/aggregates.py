@@ -473,3 +473,25 @@ def q_agg_count_if_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return mode_deterministic(t["lineitem"], "l_returnflag", "l_quantity")
+
+
+@query("agg_hll_sketch", tags=("rows-only",))  # sketch binary differs per impl
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches): per-day user
+    sketches unioned into a total estimate — the 100 TB pattern for
+    distinct counts across partitions/time (constant-memory partials,
+    re-aggregable without rescanning, unlike exact countDistinct whose
+    shuffle carries every key).  Rows-only: sketch estimates are
+    implementation-specific; accuracy vs exact is property-tested
+    (tests/test_properties.py::test_hll_sketch_close_to_exact).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    per_day = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_users"),
+    )

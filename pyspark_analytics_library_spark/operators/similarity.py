@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.registry import query
@@ -259,6 +259,122 @@ def lsh_table_keys(emb: Column) -> Column:
             key = key + F.when(dot > 0, F.lit(1 << bi)).otherwise(F.lit(0))
         entries.append(F.struct(F.lit(ti).alias("table"), key.alias("key")))
     return F.array(*entries)
+
+
+_IVF_CELLS = 16
+# nprobe is high relative to cells because the fixture vectors are
+# near-isotropic (max cosine ≈ 0.48 — worst case for ANN); real
+# embedding corpora cluster strongly and run nprobe/cells ≪ this.
+_IVF_NPROBE = 6
+
+
+def train_ivf_centroids(e: DataFrame, k: int = _IVF_CELLS, iters: int = 10, sample: int = 100_000):
+    """Deterministic spherical k-means on a bounded sample → L2-normalized
+    centroid matrix.  Centroid training on a driver-side sample is the
+    standard IVF build recipe (FAISS does the same): centroids only
+    need to capture the density shape, so `sample` rows suffice at any
+    input scale, and a fixed seed + fixed iteration count keeps reruns
+    (and the property tests) exact.
+    """
+    pdf = e.select("embedding").limit(sample).toPandas()
+    M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    rng = np.random.RandomState(7)
+    C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)
+        for j in range(len(C)):
+            members = M[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return C
+
+
+def _assign_cells(C: np.ndarray, nprobe: int):
+    """mapInPandas generator: (vec_id, embedding) → one row per probed
+    cell, nearest-first.  nprobe=1 builds the index side; nprobe>1 the
+    query side."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            cells = np.argsort(-(A @ C.T), axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": cells.ravel().astype(np.int32),
+                    "embedding": [e for e in pdf["embedding"] for _ in range(nprobe)],
+                }
+            )
+
+    return gen
+
+
+@query("sim_ivf_approx", tags=("rows-only",))  # recall checked by property test
+def q_sim_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-5: partition vectors into
+    centroid cells, search only the query's `nprobe` nearest cells.
+
+    The 100 TB sharded-index path complementing `sim_lsh_approx`: the
+    full index is never broadcast — each cell's vectors meet only the
+    queries probing that cell (cogrouped `applyInPandas`, shuffled by
+    cell id), and the per-cell kernel is the same vectorized matmul as
+    the exact path.  Per-query cost drops from O(n) to
+    O(n·nprobe/cells); cell skew is bounded because spherical k-means
+    balances density, and AQE splits an oversized cell's shuffle
+    partition.  Final global top-5 merges the per-cell candidates with
+    one window (rounded-cos, id tie-break — same discipline as exact).
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    C = train_ivf_centroids(e)
+    index = e.mapInPandas(
+        _assign_cells(C, 1), "vec_id long, cell int, embedding array<float>"
+    )
+    probes = e.mapInPandas(
+        _assign_cells(C, _IVF_NPROBE), "vec_id long, cell int, embedding array<float>"
+    )
+
+    def local_topk(qdf: pd.DataFrame, idf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qdf) or not len(idf):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        I = np.stack(idf["embedding"].to_numpy()).astype(np.float64)
+        I /= np.linalg.norm(I, axis=1, keepdims=True)
+        S = np.round(Q @ I.T, 6)
+        q_ids = qdf["vec_id"].to_numpy()
+        i_ids = idf["vec_id"].to_numpy()
+        S[q_ids[:, None] == i_ids[None, :]] = -np.inf
+        kk = min(5, S.shape[1])
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        keep = np.take_along_axis(S, part, axis=1) > -np.inf
+        return pd.DataFrame(
+            {
+                "id_a": np.repeat(q_ids, kk)[keep.ravel()],
+                "id_b": i_ids[part].ravel()[keep.ravel()],
+                "cos": np.take_along_axis(S, part, axis=1).ravel()[keep.ravel()],
+            }
+        )
+
+    candidates = (
+        probes.groupby("cell")
+        .cogroup(index.groupby("cell"))
+        .applyInPandas(local_topk, "id_a long, id_b long, cos double")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cos"), F.asc("id_b"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("id_a", "id_b", "cos", "rn")
+    )
 
 
 @query("sim_lsh_approx", tags=("rows-only",))  # LSH recall checked by property test

@@ -104,6 +104,64 @@ def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_gapfill",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), g AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ), ty AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT hour, event_type FROM g CROSS JOIN ty),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 4) AS tv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT grid.hour, grid.event_type,
+           COALESCE(c.n, 0) AS n_events,
+           last_value(c.tv IGNORE NULLS) OVER (
+               PARTITION BY grid.event_type ORDER BY grid.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_value_ffill
+    FROM grid LEFT JOIN c
+      ON grid.hour = c.hour AND grid.event_type = c.event_type
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a dense hourly grid: zero-fill missing buckets and
+    forward-fill the last observed hourly value per event_type.
+
+    Scale: the hourly aggregate is the only data-sized shuffle; the
+    grid (hours × types) is generated rows, tiny at any input scale, so
+    the left join broadcasts the aggregate side or the grid side under
+    AQE. Forward-fill is a running `last(ignorenulls)` frame — O(1)
+    state per row, one shuffle by event_type.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+    hours = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["hour", "event_type"], "left")
+        .withColumn("n_events", F.coalesce("n", F.lit(0)))
+        .withColumn("total_value_ffill", F.last("tv", ignorenulls=True).over(w))
+        .select("hour", "event_type", "n_events", "total_value_ffill")
+    )
+
+
+@query(
     "ts_session_stats",
     oracle="""
     WITH d AS (

@@ -13,6 +13,8 @@ or a partitioned table root; nothing here assumes a single file.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,6 +39,48 @@ TABLES = (
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+#: SparkContexts the package zip has already been shipped to.
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Module-level UDF callables are cloudpickled *by reference*, so the
+    worker must be able to ``import pyspark_analytics_library_spark`` —
+    true under pytest (cwd is the repo) but NOT when an external driver
+    imports ``__spark_entry__`` from an arbitrary cwd with only a
+    driver-side ``sys.path`` tweak (worker processes don't inherit
+    that).  ``addPyFile`` ships a zip of the package to every executor
+    and prepends it to the workers' ``sys.path`` — the same mechanism a
+    real cluster submit uses (``spark-submit --py-files``), so this is
+    exactly the 100 TB deployment path, not a test shim.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # The source zip must outlive this call: local-mode executors
+    # re-fetch and byte-compare it against the file server's copy at
+    # task time, so a deleted-on-exit tempdir breaks the first job.
+    # One zip per process (pid-suffixed), reused across sessions.
+    archive_base = os.path.join(
+        tempfile.gettempdir(), f"pyspark_analytics_library_spark-pyfiles-{os.getpid()}"
+    )
+    if not os.path.exists(archive_base + ".zip"):
+        shutil.make_archive(
+            archive_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_root),
+            base_dir=os.path.basename(pkg_root),
+        )
+    sc.addPyFile(archive_base + ".zip")
+    _SHIPPED.add(id(sc))
+
+
 def _configure(spark: SparkSession) -> None:
     """Session confs every query depends on (runtime-settable).
 
@@ -48,6 +92,7 @@ def _configure(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

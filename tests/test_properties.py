@@ -66,6 +66,47 @@ def test_sample_deterministic_under_seed(spark):
     assert a == b
 
 
+def test_ivf_recall_vs_exact(spark):
+    """IVF top-5 must recover most of the exact top-5 edges, and every
+    reported (pair, cos) must exist in the exact result (IVF searches a
+    subset of the index, so its hits are a subset of truth)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in REGISTRY["sim_topk_exact"].fn(spark, TEST_SF_DIR).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in REGISTRY["sim_ivf_approx"].fn(spark, TEST_SF_DIR).collect()
+    }
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.6, f"IVF recall@5 {recall:.2f} < 0.6"
+    for pair in set(approx) & set(exact):
+        assert abs(approx[pair] - exact[pair]) < 1e-9, pair
+
+
+def test_ivf_deterministic(spark):
+    a = _pairs(REGISTRY["sim_ivf_approx"].fn(spark, TEST_SF_DIR))
+    b = _pairs(REGISTRY["sim_ivf_approx"].fn(spark, TEST_SF_DIR))
+    assert a == b
+
+
+def test_hll_sketch_close_to_exact(spark):
+    from pyspark.sql import functions as F
+
+    row = REGISTRY["agg_hll_sketch"].fn(spark, TEST_SF_DIR).collect()[0]
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    exact = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .select(F.countDistinct("user_id").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert abs(row["approx_total_users"] - exact) / max(exact, 1) < 0.1, (
+        row["approx_total_users"],
+        exact,
+    )
+
+
 def test_approx_distinct_close_to_exact(spark):
     approx = {
         r["event_type"]: r["approx_users"]

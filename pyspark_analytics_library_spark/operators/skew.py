@@ -1,0 +1,224 @@
+"""Skew mitigation and shuffle co-location (the 100 TB hygiene surface).
+
+Three declared queries, each proving a *scale technique* produces
+bit-identical results to the plain declarative path (full DuckDB
+oracles — the oracle is the unsalted/unbucketed SQL):
+
+- ``agg_salted_skew``: two-phase salted aggregation. A hot grouping key
+  at 100 TB funnels its entire partition through one reducer; salting
+  splits it into ``buckets`` partials that combine in a second, tiny
+  aggregation. Salt is ``pmod(hash(unique_col), buckets)`` —
+  deterministic (reruns agree) yet uniform.
+- ``join_salted_skew``: skewed equi-join — replicate the build side
+  across ``buckets`` salt replicas (explode — no driver loop), salt the
+  probe side by hash of a unique column, join on (key, salt). AQE's
+  skew-join split handles moderate skew automatically; explicit salting
+  is the escape hatch when one key alone exceeds a task's memory.
+- ``join_bucketed_colocated``: both fact sides written bucketed by the
+  join key, then joined — the join runs shuffle-free (no Exchange in
+  the plan, pinned by tests/test_plans.py). At 100 TB this is THE
+  pattern for repeated fact⋈fact joins: pay the shuffle once at write
+  time, amortize it over every downstream join.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+DEFAULT_BUCKETS = 16
+
+
+def salt_column(unique_col: str | Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Deterministic uniform salt in [0, buckets): hash of a unique
+    column, not rand() — reruns and retried tasks agree."""
+    c = F.col(unique_col) if isinstance(unique_col, str) else unique_col
+    return F.pmod(F.hash(c), F.lit(buckets))
+
+
+def salted_sum_count(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    unique_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Two-phase salted SUM/COUNT: partials on (keys, salt), final on
+    keys. Works for any algebraic aggregate (sum/count/min/max); holistic
+    aggregates (median) need the sketch path instead (SCALE.md)."""
+    partial = (
+        df.withColumn("_salt", salt_column(unique_col, buckets))
+        .groupBy(*keys, "_salt")
+        .agg(F.sum(value).alias("_s"), F.count(F.lit(1)).alias("_c"))
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_s").alias(f"sum_{value}"), F.sum("_c").alias("n_rows")
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_unique: str | Column,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Skew-proof inner equi-join: build side replicated `buckets`×,
+    probe side salted deterministically, join on (key, salt).
+
+    Cost model: build side grows buckets×(use only when build ≪ probe
+    and a probe key is pathologically hot); probe rows are never
+    replicated. The replicate is `explode(sequence(...))` — pure
+    expression, no driver involvement.
+    """
+    build_rep = build.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    probe_salted = probe.withColumn("_salt", salt_column(probe_unique, buckets))
+    return probe_salted.join(build_rep, [key, "_salt"]).drop("_salt")
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value), 4) AS sum_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation ≡ plain GROUP BY (the oracle IS the
+    unsalted SQL — the technique must be invisible in the result)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = salted_sum_count(ev, ["event_type"], "value", "event_id")
+    return out.select(
+        "event_type", F.round("sum_value", 4).alias("sum_value"), "n_rows"
+    )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact⋈fact join ≡ plain join (oracle is the unsalted SQL).
+    lineitem is the probe (never replicated); orders replicate 16×."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_extendedprice"
+    )
+    orders = t["orders"].select(F.col("o_orderkey").alias("k"), "o_orderpriority")
+    joined = salted_join(
+        li,
+        orders,
+        key="k",
+        # (orderkey, linenumber) is the lineitem PK; salting on its
+        # concat spreads even a single hot order across buckets.
+        probe_unique=F.concat_ws(":", F.col("k"), F.col("l_linenumber")),
+        buckets=DEFAULT_BUCKETS,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+    )
+
+
+#: Bucketed tables are written once per (session, sf_dir) and reused.
+_BUCKETED: set[tuple[int, str]] = set()
+
+
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    name: str,
+    key: str,
+    buckets: int = 8,
+    base_dir: str | None = None,
+) -> None:
+    """Persist `df` bucketed+sorted by `key` as an external table.
+
+    Bucketing is Spark's pay-once co-location: both sides of a future
+    equi-join on `key` with the same bucket count scan pre-partitioned,
+    pre-sorted files and sort-merge-join with NO Exchange.
+    """
+    base = base_dir or os.path.join(tempfile.gettempdir(), "sparkalytics_bucketed")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.mode("overwrite")
+        .option("path", os.path.join(base, name))
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(name)
+    )
+
+
+def _ensure_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if key in _BUCKETED:
+        return
+    t = load_tables(spark, sf_dir)
+    suffix = abs(hash(sf_dir)) % 10**8
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        spark,
+        f"lineitem_b{suffix}",
+        "l_orderkey",
+    )
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        spark,
+        f"orders_b{suffix}",
+        "o_orderkey",
+    )
+    _BUCKETED.add(key)
+
+
+def bucketed_join_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw bucketed join (pre-aggregation) — used by the plan test
+    to assert there is no Exchange under the SortMergeJoin."""
+    _ensure_bucketed_orders_lineitem(spark, sf_dir)
+    suffix = abs(hash(sf_dir)) % 10**8
+    li = spark.table(f"lineitem_b{suffix}")
+    orders = spark.table(f"orders_b{suffix}")
+    # merge hint: at fixture scale the planner would broadcast the tiny
+    # side (and skip bucketing entirely); the shape under test is the
+    # 100 TB one — two fact tables, neither broadcastable.
+    return li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free join over bucketed tables ≡ plain join (oracle is
+    the same SQL as join_salted_skew — three physical strategies, one
+    result)."""
+    return (
+        bucketed_join_pair(spark, sf_dir)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""End-to-end training-data pipeline compositions.
+
+The LLM-data-pipeline operators (dedup, quality, lang-ID, tokens,
+embeddings) exist individually in :mod:`.dedup`, :mod:`.text`,
+:mod:`.similarity`; these queries chain them the way a corpus-cleaning
+job actually runs — dedup → filter → quality gate → embedding join →
+per-slice stats — in ONE Spark plan, so Catalyst prunes/pushes across
+stage boundaries instead of materializing intermediates.
+
+Scale posture: the whole pipeline is declarative (one job, no
+intermediate writes); the dedup window and the final rollup are the
+only shuffles, and the embeddings join broadcasts whichever side AQE
+measures smaller. At 100 TB each stage's selectivity compounds before
+the expensive join — exactly why the pipeline must be one plan and not
+a chain of checkpointed tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_analytics_library_spark.operators.dedup import dedup_exact_keep_min
+from pyspark_analytics_library_spark.operators.text import tokenize
+from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources.io import load_tables
+
+#: Quality gate: keep mid-length docs (the fixture proxy for "not
+#: boilerplate, not truncation").
+MIN_CHARS, MAX_CHARS = 150, 450
+MIN_TOKENS = 20
+KEEP_LANGS = ("de", "en", "fr")
+
+
+def clean_corpus(docs: DataFrame) -> DataFrame:
+    """dedup (composite key, keep min doc_id) → language allowlist →
+    length/token quality gate. Returns surviving docs with token_count."""
+    deduped = dedup_exact_keep_min(
+        docs.withColumn(
+            "len_bucket", F.floor(F.col("n_chars") / 100.0)
+        ),
+        ["lang", "len_bucket"],
+        "doc_id",
+    )
+    return (
+        deduped.filter(F.col("lang").isin(*KEEP_LANGS))
+        .filter(F.col("n_chars").between(MIN_CHARS, MAX_CHARS))
+        .withColumn("token_count", F.size(tokenize("text")))
+        .filter(F.col("token_count") >= MIN_TOKENS)
+    )
+
+
+#: Oracle fragment shared by both pipeline queries (DuckDB spelling of
+#: clean_corpus; string_split keeps empty tokens, so filter them).
+_CLEAN_CTE = """
+    WITH bucketed AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS len_bucket
+        FROM documents
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang, len_bucket ORDER BY doc_id ASC
+                   ) AS rn
+            FROM bucketed
+        ) WHERE rn = 1
+    ), cleaned AS (
+        SELECT doc_id, lang, source, n_chars,
+               len(list_filter(string_split(lower(text), ' '),
+                               w -> w <> '')) AS token_count
+        FROM deduped
+        WHERE lang IN ('de', 'en', 'fr')
+          AND n_chars BETWEEN 150 AND 450
+    ), gated AS (
+        SELECT * FROM cleaned WHERE token_count >= 20
+    )
+"""
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=_CLEAN_CTE
+    + """
+    SELECT g.lang, g.source,
+           COUNT(*) AS n_docs,
+           CAST(ROUND(AVG(g.token_count), 4) AS DOUBLE) AS avg_tokens,
+           CAST(ROUND(AVG(g.n_chars), 4) AS DOUBLE) AS avg_chars,
+           COUNT(e.vec_id) AS n_embedded
+    FROM gated g
+    LEFT JOIN embeddings e ON g.doc_id = e.vec_id
+    GROUP BY g.lang, g.source
+    """,
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full corpus-cleaning pipeline: dedup → lang allowlist → quality
+    gate → embedding coverage join → per-(lang, source) stats."""
+    t = load_tables(spark, sf_dir)
+    cleaned = clean_corpus(t["documents"])
+    emb = t["embeddings"].select(F.col("vec_id"))
+    return (
+        cleaned.join(emb, cleaned.doc_id == emb.vec_id, "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("token_count"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.count("vec_id").alias("n_embedded"),
+        )
+    )
+
+
+@query(
+    "pipeline_dedup_rate",
+    oracle=_CLEAN_CTE
+    + """
+    SELECT d.lang,
+           COUNT(*) AS n_raw,
+           (SELECT COUNT(*) FROM gated g WHERE g.lang = d.lang) AS n_kept,
+           CAST(ROUND(1.0 - (SELECT COUNT(*) FROM gated g
+                             WHERE g.lang = d.lang) * 1.0 / COUNT(*), 4)
+                AS DOUBLE) AS drop_rate
+    FROM documents d
+    WHERE d.lang IN ('de', 'en', 'fr')
+    GROUP BY d.lang
+    """,
+)
+def q_pipeline_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield accounting per language: raw docs in, docs kept
+    after dedup+quality, drop rate — the health metric every corpus
+    run reports."""
+    t = load_tables(spark, sf_dir)
+    raw = (
+        t["documents"]
+        .filter(F.col("lang").isin(*KEEP_LANGS))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    kept = clean_corpus(t["documents"]).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )
+    return raw.join(kept, "lang", "left").select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.round(1.0 - F.coalesce("n_kept", F.lit(0)) / F.col("n_raw"), 4).alias(
+            "drop_rate"
+        ),
+    )

@@ -49,6 +49,7 @@ def load_all_query_modules() -> None:
     import pyspark_analytics_library_spark.operators.relational  # noqa: F401
     import pyspark_analytics_library_spark.operators.composite  # noqa: F401
     import pyspark_analytics_library_spark.operators.skew  # noqa: F401
+    import pyspark_analytics_library_spark.operators.pipeline  # noqa: F401
     import pyspark_analytics_library_spark.operators.aggregates  # noqa: F401
     import pyspark_analytics_library_spark.operators.windows  # noqa: F401
     import pyspark_analytics_library_spark.operators.setops  # noqa: F401

@@ -23,7 +23,14 @@ from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources import io as io_mod
 from pyspark_analytics_library_spark.sources.io import load_tables
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    # pid-scoped: two processes running the roundtrip queries at once
+    # (e.g. the driver and a local test run) must not clobber each
+    # other's sink mid-read.
+    f"pid{os.getpid()}",
+)
 
 
 def _scratch(name: str) -> str:

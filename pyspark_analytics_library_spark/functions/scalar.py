@@ -343,3 +343,34 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("p_partkey"), 3).alias("shr"),
         F.bit_count(F.col("p_partkey")).alias("nbits"),
     )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           GREATEST(o_totalprice, 100000.0) AS price_floor,
+           LEAST(o_totalprice, 100000.0) AS price_cap,
+           CASE WHEN o_orderstatus = 'F' THEN 'final'
+                WHEN o_orderstatus = 'O' THEN 'open'
+                ELSE 'other' END AS status_label,
+           CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END
+               AS size_label
+    FROM orders
+    """,
+)
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: greatest/least, multi-branch
+    CASE (F.when chains), binary IF — all JVM codegen; DuckDB spells
+    IF as CASE."""
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("price_cap"),
+        F.when(F.col("o_orderstatus") == "F", "final")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("other")
+        .alias("status_label"),
+        F.expr("IF(o_totalprice > 200000, 'big', 'small')").alias("size_label"),
+    )

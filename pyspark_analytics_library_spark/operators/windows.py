@@ -194,3 +194,25 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).alias("first_price"),
         F.last("o_totalprice").over(w_full).alias("last_price"),
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+           ), 6) AS cd
+    FROM customer
+    """,
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution per nation (total order via the unique
+    customer key so both engines rank identically)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

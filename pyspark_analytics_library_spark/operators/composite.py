@@ -107,3 +107,380 @@ def q_query_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "query_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_query_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority where at least one
+    line item was returned (EXISTS → left-semi join).
+
+    The semi-join probes with the filtered orders side and never
+    materializes lineitem columns, so the shuffle carries only
+    l_orderkey; at 100 TB the semi side is further shrunk by the
+    returnflag filter reaching the parquet scan.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "query_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-table filter + global aggregate.
+
+    The entire predicate set is scan-level (PushedFilters on
+    l_shipdate / l_discount / l_quantity) and only three columns are
+    read; the aggregate is a one-row partial+final — the cheapest
+    possible plan shape at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "query_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q_query_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional counts by priority class.
+
+    The date filter reaches the lineitem scan before the shuffle; the
+    conditional SUM(CASE ...) pair aggregates map-side, so the final
+    exchange moves only (linestatus, two longs) per partition.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "query_promo_revenue",
+    oracle="""
+    SELECT ROUND(
+               100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4
+           ) AS promo_revenue_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q_query_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month.
+
+    part is the small side and broadcast explicitly — the month of
+    lineitem streams through a broadcast-hash join with no shuffle at
+    all, then collapses to a single conditional ratio row.
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(0.0))
+                / F.sum(net),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "query_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           SUM(l_quantity) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_query_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders
+    (HAVING subquery → aggregate, then semi-join back to the facts).
+
+    The qualifying-orderkey set is tiny after HAVING (hundreds of keys
+    out of millions), so it is broadcast into a left-semi join against
+    orders — the big lineitem re-join then only touches qualifying
+    orders. Top-k tie-broken by the unique order key.
+    """
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    orders = t["orders"].join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == t["lineitem"].l_orderkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "query_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 4) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_query_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year (two independent roles of the same dimension table).
+
+    Both nation copies and supplier broadcast; the only shuffles are
+    lineitem⋈orders and orders⋈customer on their keys. The
+    nation-pair disjunction is applied after both dimension joins but
+    Catalyst pushes each half into the respective broadcast build.
+    """
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "query_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_query_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the quarter's max revenue
+    (aggregate view + scalar-subquery max).
+
+    The revenue aggregate is computed once and reused for both the
+    max and the final filter via a single-row broadcast cross join —
+    no driver-side collect, no recomputation of the view.
+    """
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "query_dormant_balance",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 4) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_query_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich customers with no *recent* orders, by
+    nation (scalar-subquery threshold + NOT EXISTS anti-join; every
+    fixture customer has at least one lifetime order, so dormancy is
+    defined against a recency cutoff to keep the check non-vacuous).
+
+    The positive-balance average is a one-row broadcast (never a
+    collect); the anti-join probes orders on o_custkey only. Both
+    heavy inputs are pruned to single columns before any exchange.
+    """
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    recent = (
+        t["orders"]
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    dormant = rich.join(recent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return (
+        dormant.join(
+            F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

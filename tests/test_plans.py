@@ -89,3 +89,36 @@ def test_salted_join_never_replicates_probe(spark):
     # ("Generate (4)") and once in the details ("(4) Generate").
     text = plan_text(df)
     assert text.count("Generate (") == 1, text
+
+
+def test_order_priority_uses_semi_join(spark):
+    """Q4's EXISTS must compile to a left-semi join, never a full
+    join + distinct."""
+    df = REGISTRY["query_order_priority"].fn(spark, TEST_SF_DIR)
+    assert "LeftSemi" in plan_text(df)
+
+
+def test_forecast_revenue_is_scan_level(spark):
+    """Q6: every predicate reaches the parquet scan and only the
+    four referenced lineitem columns are read."""
+    df = REGISTRY["query_forecast_revenue"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "PushedFilters" in text
+    schema_line = text.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" not in schema_line
+    assert "l_extendedprice" in schema_line
+
+
+def test_large_volume_broadcasts_qualifying_keys(spark):
+    """Q18: the post-HAVING key set joins orders as a broadcast
+    left-semi, so the fact table is never shuffled against itself."""
+    df = REGISTRY["query_large_volume"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "LeftSemi" in text
+    assert "BroadcastHashJoin" in text
+
+
+def test_dormant_balance_uses_anti_join(spark):
+    """Q22's NOT EXISTS must compile to a left-anti join."""
+    df = REGISTRY["query_dormant_balance"].fn(spark, TEST_SF_DIR)
+    assert "LeftAnti" in plan_text(df)

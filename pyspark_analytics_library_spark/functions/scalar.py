@@ -374,3 +374,32 @@ def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status_label"),
         F.expr("IF(o_totalprice > 200000, 'big', 'small')").alias("size_label"),
     )
+
+
+@query(
+    "fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice) AS INTEGER) AS price_int,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST('3.5' AS DOUBLE) + o_totalprice AS price_plus,
+           strftime(o_orderdate, '%Y-%m-%d') AS date_str
+    FROM orders
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast / coercion family. Engine-semantics trap pinned here:
+    Spark CAST(double AS INT) truncates toward zero while DuckDB's
+    rounds half-even, so the oracle spells the truncation explicitly
+    (trunc → INT); TRY_CAST of a non-numeric string is NULL in both.
+    """
+    t = load_tables(spark, sf_dir)
+    return t["orders"].select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("int").alias("price_int"),
+        F.expr("TRY_CAST(o_orderstatus AS INT)").alias("status_as_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        (F.lit("3.5").cast("double") + F.col("o_totalprice")).alias("price_plus"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+    )

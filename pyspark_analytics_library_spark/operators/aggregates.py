@@ -495,3 +495,41 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_total_users"),
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6)
+               AS wavg_discount,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted averages per return flag — the ratio-of-sums
+    formulation, which partial-aggregates map-side (two sums per
+    group) instead of carrying per-row weights to the reducer.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_discount") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                6,
+            ).alias("wavg_discount"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("wavg_price"),
+        )
+        .orderBy("l_returnflag")
+    )

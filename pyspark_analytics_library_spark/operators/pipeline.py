@@ -147,3 +147,54 @@ def q_pipeline_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_rate"
         ),
     )
+
+
+@query(
+    "pipeline_train_split",
+    oracle="""
+    WITH tagged AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(sha256(text), 1, 1) BETWEEN '0' AND 'b'
+                    THEN 'train'
+                    WHEN substr(sha256(text), 1, 1) IN ('c', 'd')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM tagged
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def q_pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (≈75/12.5/12.5
+    by the first sha256 nibble), summarized per (lang, split).
+
+    The standard training-pipeline split discipline: assignment is a
+    pure function of content, so it is stable across reruns, cluster
+    sizes, and partitionings — no RNG, no seed coordination across
+    1000 executors, and a re-ingested duplicate document always lands
+    in the same split (no train/test leakage from re-crawls). The
+    hash is computed scan-side and aggregates map-side; nothing
+    shuffles except the tiny (lang, split) rollup.
+    """
+    t = load_tables(spark, sf_dir)
+    nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
+    split = (
+        F.when(nibble.between("0", "b"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )

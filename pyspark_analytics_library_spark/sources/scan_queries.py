@@ -107,3 +107,41 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch("sink_orc")
     t["region"].write.mode("overwrite").orc(path)
     return io_mod.scan_orc(spark, path)
+
+
+@query(
+    "scan_partition_pruning",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned re-read: the
+    100 TB table-layout pattern in miniature.
+
+    documents is written partitioned by lang (one directory per
+    value); the re-read filters lang='en', which Spark resolves
+    against directory names alone (PartitionFilters in the scan — see
+    tests/test_plans.py), so the other languages' files are never
+    opened. At 100 TB this is the difference between scanning one
+    partition and scanning the lake; the oracle aggregates the
+    ORIGINAL table so the check also proves the layout lost no rows.
+    """
+    t = load_tables(spark, sf_dir)
+    path = _scratch("part_by_lang")
+    t["documents"].select("doc_id", "source", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )

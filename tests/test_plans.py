@@ -122,3 +122,14 @@ def test_dormant_balance_uses_anti_join(spark):
     """Q22's NOT EXISTS must compile to a left-anti join."""
     df = REGISTRY["query_dormant_balance"].fn(spark, TEST_SF_DIR)
     assert "LeftAnti" in plan_text(df)
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The lang filter on a lang-partitioned layout must appear as a
+    PartitionFilters entry on the scan, not a post-scan Filter over
+    all files."""
+    df = REGISTRY["scan_partition_pruning"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "PartitionFilters" in text
+    pf_line = text.split("PartitionFilters")[1].splitlines()[0]
+    assert "lang" in pf_line

@@ -403,3 +403,31 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit("3.5").cast("double") + F.col("o_totalprice")).alias("price_plus"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(sin(radians(p_size)), 6) AS sin_v,
+           ROUND(cos(radians(p_size)), 6) AS cos_v,
+           ROUND(atan2(p_size, 10.0), 6) AS atan2_v,
+           ROUND(degrees(atan(p_size)), 6) AS deg_v,
+           ROUND(pi(), 6) AS pi_v
+    FROM part
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric function family — all JVM-codegen builtins,
+    rounded to 6 dp on both engines (libm vs JVM Math agree well
+    inside that tolerance)."""
+    t = load_tables(spark, sf_dir)
+    sz = F.col("p_size")
+    return t["part"].select(
+        "p_partkey",
+        F.round(F.sin(F.radians(sz)), 6).alias("sin_v"),
+        F.round(F.cos(F.radians(sz)), 6).alias("cos_v"),
+        F.round(F.atan2(sz, F.lit(10.0)), 6).alias("atan2_v"),
+        F.round(F.degrees(F.atan(sz)), 6).alias("deg_v"),
+        F.expr("round(pi(), 6)").alias("pi_v"),
+    )

@@ -533,3 +533,38 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_argmax",
+    oracle="""
+    SELECT c_nationkey,
+           MAX_BY(c_custkey, c_acctbal) AS richest_cust,
+           MIN_BY(c_custkey, c_acctbal) AS poorest_cust,
+           ROUND(MAX(c_acctbal), 4) AS max_bal,
+           ROUND(MIN(c_acctbal), 4) AS min_bal
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates (max_by / min_by): which customer
+    holds each nation's extreme balance — one pass, no self-join, no
+    window. Partial-aggregates map-side like any other agg pair.
+    (Fixture acctbals carry no per-nation extreme ties — verified —
+    so the arg choice is deterministic; with tied data you'd max_by
+    on a (value, unique-key) struct instead.)
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+            F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

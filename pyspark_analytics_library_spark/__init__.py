@@ -17,8 +17,12 @@ Design stance (SURVEY.md §7):
 from pyspark_analytics_library_spark.registry import REGISTRY, query, QuerySpec
 from pyspark_analytics_library_spark.sources.io import load_tables, TABLES
 from pyspark_analytics_library_spark.session import get_spark
+from pyspark_analytics_library_spark.functions.coercion import (
+    ensure_column,
+    ensure_columns,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "REGISTRY",
@@ -27,5 +31,81 @@ __all__ = [
     "load_tables",
     "TABLES",
     "get_spark",
+    "ensure_column",
+    "ensure_columns",
+    "gapply",
+    "topk_per_group",
+    "lag_lead",
+    "dedup_exact_keep_min",
+    "minhash_lsh_pairs",
+    "word_shingles",
+    "jaccard",
+    "cosine_sim",
+    "build_index",
+    "brute_topk",
+    "tokenize",
+    "tumbling_agg",
+    "sessionize",
     "__version__",
 ]
+
+
+def __getattr__(name: str):
+    """Lazy re-exports of the operator-layer helpers.
+
+    Importing them eagerly would pull every operator module (and their
+    pandas/numpy imports) on package import; the registry's
+    ``load_all_query_modules`` stays the one place that does that on
+    purpose.  PEP 562 lazy attributes keep ``import
+    pyspark_analytics_library_spark`` cheap while still giving users the
+    flat API the reference exposes (``from pyspark_analytics_library_spark
+    import gapply, cosine_sim, ...``).
+    """
+    lazy = {
+        "gapply": ("pyspark_analytics_library_spark.operators.udf", "gapply"),
+        "topk_per_group": (
+            "pyspark_analytics_library_spark.operators.windows",
+            "topk_per_group",
+        ),
+        "lag_lead": ("pyspark_analytics_library_spark.operators.windows", "lag_lead"),
+        "dedup_exact_keep_min": (
+            "pyspark_analytics_library_spark.operators.dedup",
+            "dedup_exact_keep_min",
+        ),
+        "minhash_lsh_pairs": (
+            "pyspark_analytics_library_spark.operators.dedup",
+            "minhash_lsh_pairs",
+        ),
+        "word_shingles": (
+            "pyspark_analytics_library_spark.operators.dedup",
+            "word_shingles",
+        ),
+        "jaccard": ("pyspark_analytics_library_spark.operators.dedup", "jaccard"),
+        "cosine_sim": (
+            "pyspark_analytics_library_spark.operators.similarity",
+            "cosine_sim",
+        ),
+        "build_index": (
+            "pyspark_analytics_library_spark.operators.similarity",
+            "build_index",
+        ),
+        "brute_topk": (
+            "pyspark_analytics_library_spark.operators.similarity",
+            "brute_topk",
+        ),
+        "tokenize": ("pyspark_analytics_library_spark.operators.text", "tokenize"),
+        "tumbling_agg": (
+            "pyspark_analytics_library_spark.operators.timeseries",
+            "tumbling_agg",
+        ),
+        "sessionize": (
+            "pyspark_analytics_library_spark.operators.timeseries",
+            "sessionize",
+        ),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

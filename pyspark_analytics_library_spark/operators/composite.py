@@ -484,3 +484,327 @@ def q_query_dormant_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "query_cust_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_query_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    with the priority filter in the JOIN condition (not WHERE) so
+    customers whose only orders are urgent still count as zero.
+
+    Two aggregations, two shuffles: orders pre-filtered then counted
+    per customer (left join keeps orderless customers), then the
+    count-of-counts.  COUNT(o_orderkey) skips the nulls a left-join
+    miss produces — the standard Q13 trick.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "query_small_qty_revenue",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey AS pq_partkey,
+               0.2 * AVG(l_quantity) AS qty_thresh
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pq   ON pq_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < qty_thresh
+    """,
+)
+def q_query_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one
+    brand's parts, threshold = 0.2 x that part's average quantity
+    (the correlated scalar subquery decorrelated into an aggregate
+    join — exactly what Catalyst/DuckDB do under the hood).
+
+    Scale: the brand's partkeys broadcast into the lineitem scan, the
+    per-part average shuffles only the brand-filtered rows (quantity
+    is integral, so 0.2 x AVG is an exact double on both engines —
+    no boundary flakiness in the `<` comparison).
+    """
+    t = load_tables(spark, sf_dir)
+    parts = (
+        t["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    )
+    li = t["lineitem"].join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pq = li.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(pq, F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+@query(
+    "query_disjunct_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_query_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both join sides.  The disjunction cannot be pushed below the join
+    whole, but Catalyst derives the implied single-side prefilters
+    (brand IN (...), quantity <= 30) and pushes THOSE into both scans
+    — the join then evaluates only the residual.  One broadcast join,
+    no shuffle on the fact side.
+    """
+    t = load_tables(spark, sf_dir)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(10, 30) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(20, 50) & q.between(20, 30))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "query_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders     ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q_query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture schema: returnflag
+    stands in for the missing receipt/commit dates): suppliers who
+    were the SOLE returner on a finished multi-supplier order.
+
+    The double correlation compiles to one semi- and one anti-join,
+    both hash-partitioned on l_orderkey with the `<> suppkey`
+    inequality as a post-probe residual — no cartesian pair space,
+    and all three lineitem branches reuse one scan (Spark plans them
+    as an in-memory exchange reuse where possible).
+    """
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("o2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("o3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            t["supplier"], F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "query_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_query_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of ASIA-customer
+    revenue per order year (conditional-sum ratio over a 7-way star).
+
+    The two fact joins (orders, supplier keys) shuffle once each; all
+    four dim hops (customer->nation->region, supplier->nation) stay
+    broadcast.  The share is a single grouped pass — the CASE lands
+    in the partial aggregate, so the numerator costs nothing extra.
+    """
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n1_region") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            F.col("nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "query_nation_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 4) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.4 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year
+    """,
+)
+def q_query_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so
+    supply cost is modeled as 0.4 x retail price): profit on red
+    parts by supplier nation and order year.
+
+    part is name-filtered BEFORE its broadcast (LIKE prunes ~7/8 of
+    parts scan-side), lineitem shuffles once on l_orderkey for the
+    orders join; supplier/nation ride as broadcasts.  (nation, year)
+    is a unique grouping so the ORDER BY is total.
+    """
+    t = load_tables(spark, sf_dir)
+    green = t["part"].filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(green), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )

@@ -202,3 +202,104 @@ def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_session_events"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+@query(
+    "ts_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    )
+    SELECT '1_click' AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+    UNION ALL
+    SELECT '2_purchase_after_click' AS step,
+           CAST(COUNT(*) AS BIGINT) AS n_users FROM s2
+    ORDER BY step
+    """,
+)
+def q_ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-step event funnel: users who clicked, then users
+    whose first purchase happened strictly AFTER their first click.
+
+    Shape: two per-user min-aggregations (one shuffle each on
+    user_id) joined on the same key — the second agg reuses the first
+    shuffle's partitioning, so AQE plans the join exchange-free on
+    the build side.  Counts collapse to one row per step (no per-user
+    output survives the funnel), so driver traffic is O(steps) at any
+    scale.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    s1 = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    step1 = s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("1_click").alias("step"), "n_users"
+    )
+    step2 = s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+        F.lit("2_purchase_after_click").alias("step"), "n_users"
+    )
+    return step1.union(step2).orderBy("step")
+
+
+@query(
+    "ts_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+        FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INTEGER)
+               AS day_offset,
+           COUNT(*) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted on each later active day (offset in days).
+
+    Both inputs aggregate on user_id first (events collapse to at
+    most users x days rows BEFORE the join), so the join is between
+    two already-tiny sides regardless of raw event volume — the
+    standard retention rollup that stays cheap at 100 TB of events.
+    Day boundaries via date_trunc on both engines; offsets via
+    calendar-day difference on the truncated values (identical
+    semantics, no timezone skew — sessions pin UTC).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("active_day", "cohort_day").cast("int").alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -198,3 +198,66 @@ def q_pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH d AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS tok
+        FROM documents
+    ), c AS (
+        SELECT lang, doc_id, tok,
+               SUM(tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM d
+    )
+    SELECT lang,
+           CAST(FLOOR((cum - tok) / 256.0) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
+    FROM c
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: docs ordered by
+    doc_id within each lang are packed into 256-token budget bins by
+    running token count (a doc starts a new sequence when the budget
+    would overflow at its START offset — the standard concat-and-split
+    packing, deterministic given the sort key).
+
+    One window (shuffle on lang) + one rollup that reuses the same
+    partitioning.  At 100 TB the lang partition is the natural packing
+    domain; a skewed mega-language would swap the partition key for
+    (lang, shard) with the same plan shape.
+    """
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    tok = F.size(F.split(F.col("text"), " ")).alias("tok")
+    d = t["documents"].select("lang", "doc_id", tok)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("tok").over(w))
+    return (
+        c.select(
+            "lang",
+            F.floor((F.col("cum") - F.col("tok")) / F.lit(256.0))
+            .cast("long")
+            .alias("seq_id"),
+            "tok",
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )

@@ -457,3 +457,49 @@ def q_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") > 0.3)
         .select("id_a", "id_b", "cos")
     )
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0
+    ), p AS (
+        SELECT e.vec_id,
+               CAST(unnest(e.embedding) AS DOUBLE) AS xa,
+               CAST(unnest(q.q_emb) AS DOUBLE) AS xb
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ), c AS (
+        SELECT vec_id,
+               SUM(xa * xb) / SQRT(SUM(xa * xa) * SUM(xb * xb)) AS cos
+        FROM p GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(cos, 6) AS cos
+    FROM c
+    WHERE ROUND(cos, 6) >= 0.25
+    ORDER BY cos DESC, vec_id
+    """,
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-query range search: every vector within cosine ≥ 0.25 of
+    one probe vector (vec_id 0) — the point-lookup twin of
+    sim_threshold_pairs (which materializes ALL qualifying pairs).
+
+    The probe is a one-row broadcast; the cosine is the pure JVM
+    expression fold, evaluated scan-side with zero shuffles — a 100 TB
+    index answers a single query at full scan parallelism (and the
+    LSH/IVF paths shortcut even that scan).  Threshold compares the
+    ROUNDED value on both engines (§5.3 float discipline).
+    """
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cos = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.25)
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+    )

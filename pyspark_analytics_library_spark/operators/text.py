@@ -427,3 +427,50 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ", F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " ")))
     )
     return t["documents"].select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+@query(
+    "text_chunk",
+    oracle="""
+    WITH starts AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(n_chars AS INTEGER), 150))
+                   AS chunk_start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_start AS INTEGER), 200) AS chunk,
+           length(substring(text, CAST(chunk_start AS INTEGER), 200))
+               AS chunk_len
+    FROM starts
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (200-char windows, stride
+    150 → 50-char overlap) — the context-window prep step of a training
+    pipeline, as a pure explode: sequence(1, n_chars, 150) generates
+    start offsets scan-side, substring slices each window.
+
+    Scale: no shuffle at all — chunking is embarrassingly row-local,
+    and the explode multiplies rows INSIDE the scan stage so a 100 TB
+    corpus chunks at full scan parallelism.  1-based offsets match SQL
+    substring semantics on both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n_chars").cast("int"), F.lit(1)), F.lit(150)
+    )
+    chunk = F.substring(F.col("text"), F.col("chunk_start").cast("int"), F.lit(200))
+    return (
+        t["documents"]
+        .select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            chunk.alias("chunk"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )

@@ -133,3 +133,41 @@ def test_partitioned_layout_prunes_partitions(spark):
     assert "PartitionFilters" in text
     pf_line = text.split("PartitionFilters")[1].splitlines()[0]
     assert "lang" in pf_line
+
+
+def test_waiting_suppliers_semi_and_anti(spark):
+    """Q21's double correlation must compile to one LeftSemi and one
+    LeftAnti hash join — never a join + distinct or a nested loop over
+    the full pair space."""
+    df = REGISTRY["query_waiting_suppliers"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "LeftSemi" in text, text
+    assert "LeftAnti" in text, text
+    assert "CartesianProduct" not in text, text
+
+
+def test_disjunct_revenue_derives_scan_filters(spark):
+    """Q19's OR-of-ANDs: Catalyst must derive the single-side
+    prefilters and push them into the scans (brand disjunction on
+    part, quantity bound on lineitem)."""
+    df = REGISTRY["query_disjunct_revenue"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "PushedFilters" in text, text
+    assert "p_brand" in text, text
+
+
+def test_small_qty_revenue_broadcasts_brand_parts(spark):
+    """Q17: the brand's partkey set must reach lineitem as a
+    broadcast, not a shuffled join."""
+    df = REGISTRY["query_small_qty_revenue"].fn(spark, TEST_SF_DIR)
+    assert "BroadcastHashJoin" in plan_text(df)
+
+
+def test_text_chunk_is_shuffle_free(spark):
+    """Chunking is row-local: the plan must contain no Exchange below
+    the final (presentation) sort."""
+    df = REGISTRY["text_chunk"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    # exactly the sort's exchange, nothing structural
+    assert text.count("Exchange") <= 2, text
+    assert "Generate" in text, text

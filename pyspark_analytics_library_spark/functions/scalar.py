@@ -431,3 +431,34 @@ def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan(sz)), 6).alias("deg_v"),
         F.expr("round(pi(), 6)").alias("pi_v"),
     )
+
+
+@query(
+    "fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice / NULLIF(l_discount, 0.0), 4)
+               AS price_per_discount,
+           TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_rt,
+           l_orderkey + 1 AS next_key
+    FROM lineitem
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: errors become NULLs instead of job
+    failures — at 100 TB one malformed row must not kill a 6-hour
+    job.  try_divide(x, 0) and try_cast('R' as int) both yield NULL;
+    the round-trip cast proves values survive.  DuckDB twin uses
+    NULLIF for the division (same NULL semantics) and TRY_CAST."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))), 4
+        ).alias("price_per_discount"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("line_rt"),
+        F.try_add(F.col("l_orderkey"), F.lit(1)).alias("next_key"),
+    )

@@ -584,3 +584,104 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+               AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count):
+    price-vs-quantity fit per return flag in ONE grouped pass — the
+    moment sums partial-aggregate map-side like any sum/count, so the
+    fit costs the same shuffle as a plain groupBy at any scale.
+    Both engines define slope = covar_pop/var_pop; results rounded
+    (4 dp; r2 at 6 dp) under the §5.3 float discipline."""
+    t = load_tables(spark, sf_dir)
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_any_all",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 5000.0) AS all_over_5k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+               AS all_in_range,
+           bool_or(o_totalprice > 400000.0) AS any_jumbo
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates (bool_and / bool_or — SQL's
+    EVERY/ANY): predicate summaries per group in one pass.  Short-
+    circuit-friendly partials: a single false (true) settles an AND
+    (OR) partition map-side."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 5000.0).alias("all_over_5k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.bool_and(
+                F.col("o_orderdate")
+                >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+            ).alias("all_in_range"),
+            F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_jumbo"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           CAST(COUNT(DISTINCT c_mktsegment) AS INT) AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-collecting aggregate with DETERMINISTIC output:
+    collect_set's order is partition-dependent, so the result is
+    sort_array'd before it leaves the query — the only way an
+    array-valued aggregate can be reproducible across cluster sizes
+    (same rule as any top-k tie-break, §5.3.3)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.countDistinct("c_mktsegment").cast("int").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )

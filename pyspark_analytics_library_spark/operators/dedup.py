@@ -323,3 +323,114 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t["embeddings"].select("vec_id", "embedding")
     pairs = brute_threshold_pairs(e, build_index(spark, e), tau=0.35)
     return pairs.select(F.col("id_b").alias("dup_vec_id")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 15
+) -> DataFrame:
+    """Min-label connected components over (src, dst) edges: every
+    vertex ends up labeled with the smallest vertex id in its
+    component — the step that turns near-dup PAIRS into dedup GROUPS
+    (pick one keeper per component).
+
+    Each round combines neighbor-min propagation with pointer doubling
+    (label <- label's label), the hash-to-min scheme that converges in
+    O(log diameter) rounds instead of O(diameter) — the difference
+    between 40 and 10,000 shuffles on a chain-shaped 100 TB dup graph.
+    Every round ends in ``localCheckpoint(eager=True)``: the doubling
+    step references the previous frame TWICE, so without a lineage
+    CUT the logical plan doubles per round and the driver OOMs
+    analyzing it long before any data is big (cache() truncates
+    recompute, NOT the plan tree — learned the hard way at sf0.01 on
+    a 1 GB bare driver).  A cluster run would use reliable
+    checkpoint() instead; same plan surgery, durable storage.  The
+    convergence check is one driver-side scalar per round (the same
+    pattern as any Pregel-style loop).
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = vertices.select(F.col("v"), F.col("v").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iters):
+        nb = (
+            sym.join(lab, sym.src == lab.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        stepped = (
+            lab.join(nb, lab.v == F.col("nv"), "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+            )
+        )
+        a, b = stepped.alias("a"), stepped.alias("b")
+        doubled = (
+            a.join(b, F.col("a.label") == F.col("b.v"))
+            .select(
+                F.col("a.v").alias("v"),
+                F.least(F.col("a.label"), F.col("b.label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(lab.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        lab = doubled
+        if changed == 0:
+            break
+    return lab
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM documents a JOIN documents b
+        ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 2
+           AND a.doc_id <> b.doc_id
+    ), reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        WHERE r.label < e.dst
+    )
+    SELECT v AS doc_id, MIN(label) AS component
+    FROM reach GROUP BY v ORDER BY doc_id
+    """,
+)
+def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-group assignment: components of the near-dup candidate
+    graph (here: same lang, n_chars within 2 — a deterministic stand-in
+    for an LSH candidate edge set), labeled by smallest doc_id.
+
+    This is the missing last mile of every fuzzy-dedup pipeline:
+    MinHash/LSH emit PAIRS; transitivity must merge (a,b),(b,c) into
+    one keep-group {a,b,c} even though (a,c) never scored.  The oracle
+    states the same closure as a recursive CTE (label < dst pruning —
+    safe because a component's min label precedes every member)."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    a = d.select(
+        F.col("doc_id").alias("src"), F.col("lang").alias("l_a"), F.col("n_chars").alias("nc_a")
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"), F.col("lang").alias("l_b"), F.col("n_chars").alias("nc_b")
+    )
+    edges = a.join(
+        b,
+        (F.col("l_a") == F.col("l_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 2)
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst")
+    verts = d.select(F.col("doc_id").alias("v"))
+    lab = connected_components(edges, verts)
+    return lab.select(
+        F.col("v").alias("doc_id"), F.col("label").alias("component")
+    ).orderBy("doc_id")

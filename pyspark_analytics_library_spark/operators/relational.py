@@ -506,3 +506,83 @@ def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["lineitem"].sortWithinPartitions("l_orderkey").select(
         "l_orderkey", "l_linenumber"
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey ASC
+             LIMIT 2) t
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: top-2 orders per customer phrased as a
+    per-row subquery (SQL entry point B) — identical SQL runs on both
+    engines.  Catalyst decorrelates the LIMIT-per-key subquery into a
+    window-rank under the hood, so the physical plan is the same
+    one-shuffle rank as win_topk_per_group, not a nested loop per
+    customer row."""
+    load_tables(spark, sf_dir)  # registers the temp views
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 LIMIT 2)
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+        FROM customer WHERE c_custkey <= 100
+    ), b AS (
+        SELECT c_custkey AS b_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_b
+        FROM customer WHERE c_custkey <= 100
+    )
+    SELECT c_custkey, b_custkey, COALESCE(seg, 'NULL') AS seg
+    FROM a JOIN b ON seg IS NOT DISTINCT FROM seg_b
+                 AND c_custkey < b_custkey
+    ORDER BY c_custkey, b_custkey
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics you need
+    when the join key legitimately contains unknowns (here BUILDING is
+    nulled out on both sides, so its customers still pair up).  Plans
+    as a hash join exactly like `=`; a plain equality would silently
+    drop every NULL-keyed row."""
+    t = load_tables(spark, sf_dir)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", seg.alias("seg"))
+    )
+    b = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.col("c_custkey").alias("b_custkey"), seg.alias("seg_b"))
+    )
+    return (
+        a.join(
+            b,
+            a["seg"].eqNullSafe(b["seg_b"]) & (a["c_custkey"] < b["b_custkey"]),
+        )
+        .select(
+            "c_custkey", "b_custkey", F.coalesce("seg", F.lit("NULL")).alias("seg")
+        )
+        .orderBy("c_custkey", "b_custkey")
+    )

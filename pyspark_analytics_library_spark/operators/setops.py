@@ -63,3 +63,32 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset difference (multiplicities subtract)."""
     a, b = _sides(spark, sf_dir)
     return a.exceptAll(b)
+
+
+@query(
+    "set_union_byname",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, 'finished' AS src
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL BY NAME
+    SELECT 'open' AS src, o_totalprice, o_orderkey
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-independent union (unionByName): the two branches
+    project the same columns in DIFFERENT order — a positional UNION
+    would silently mis-zip them; by-name matching is the safe default
+    when schemas evolve independently (DuckDB: UNION ALL BY NAME)."""
+    t = load_tables(spark, sf_dir)
+    finished = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice", F.lit("finished").alias("src"))
+    )
+    open_ = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.lit("open").alias("src"), "o_totalprice", "o_orderkey")
+    )
+    return finished.unionByName(open_)

@@ -233,3 +233,23 @@ def q_udtf_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 20
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {_BAND_SQL_CASE} AS disc_band
+    FROM lineitem
+    """,
+)
+def q_udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (useArrow=True): row-at-a-time
+    author experience, Arrow-batch transfer underneath — the modern
+    default between the pickled scalar UDF and a full pandas UDF.
+    Same banding semantics as udf_scalar/udf_pandas_scalar, so the
+    three UDF flavors are oracle-checked against one CASE."""
+    t = load_tables(spark, sf_dir)
+    band = F.udf(_band, T.StringType(), useArrow=True)
+    return t["lineitem"].select(
+        "l_orderkey", "l_linenumber", band("l_discount").alias("disc_band")
+    )

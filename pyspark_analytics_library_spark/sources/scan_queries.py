@@ -145,3 +145,83 @@ def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sink_partition_overwrite",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars >= 200
+    """,
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONE partition of a
+    lang-partitioned table in place, leaving sibling partitions'
+    files untouched — the idempotent-backfill primitive of a 100 TB
+    warehouse (a day's re-run replaces that day only, never
+    truncate-and-reload).
+
+    partitionOverwriteMode=dynamic replaces exactly the partitions
+    present in the incoming write (here: lang='en', re-filtered to
+    n_chars >= 200); `static` mode would wipe the whole root first.
+    The oracle states the expected final table, so the check proves
+    both that 'en' was replaced and that every other partition
+    survived byte-for-byte.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["documents"].select("doc_id", "n_chars", "lang")
+    path = _scratch("dyn_overwrite")
+    base.write.mode("overwrite").partitionBy("lang").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            base.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return back.select(
+        "doc_id", F.col("lang").cast("string").alias("lang"), "n_chars"
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, NULL AS quality FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 1000.0 AS quality
+    FROM documents WHERE lang = 'de'
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): two generations of a
+    table — the old files lack the later-added `quality` column — read
+    as ONE table with NULLs filling the gap.  At 100 TB you never
+    rewrite history to add a column; the reader must reconcile
+    per-file schemas (parquet mergeSchema is the footer-union that
+    makes additive evolution free)."""
+    t = load_tables(spark, sf_dir)
+    path = _scratch("schema_evo")
+    old_gen = t["documents"].filter(F.col("lang") == "en").select("doc_id", "lang")
+    new_gen = (
+        t["documents"]
+        .filter(F.col("lang") == "de")
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars").cast("double") / 1000.0).alias("quality"),
+        )
+    )
+    old_gen.write.mode("overwrite").parquet(os.path.join(path, "gen=0"))
+    new_gen.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=0"), os.path.join(path, "gen=1")
+    )
+    return back.select("doc_id", "lang", "quality")

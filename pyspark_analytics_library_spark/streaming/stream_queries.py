@@ -46,6 +46,16 @@ def stream_events(spark: SparkSession, sf_dir: str, **reader_opts) -> DataFrame:
     timestamp normalization as the batch loader (SURVEY.md §1.3)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Streaming state is partitioned by spark.sql.shuffle.partitions at
+    # the FIRST micro-batch and AQE never coalesces it (AQE is batch-
+    # only), so a session still on Spark's default 200 would pay 200
+    # state-store tasks per micro-batch for a fixture-sized stream.
+    # Trim only the untouched default — a deliberately configured
+    # session (ours set 32, a cluster submit sizes it to cores) is
+    # respected.  On a real 100 TB cluster, state partitions should be
+    # ~2-3x executor cores, same rule as batch shuffles.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     reader = spark.readStream.schema(raw_schema)
     for k, v in reader_opts.items():
@@ -267,3 +277,76 @@ def q_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §2.8 name for streaming dedup-within-watermark (same
     semantics as stream_dedup — registered under both inventory rows)."""
     return q_stream_dedup(spark, sf_dir)
+
+
+@query("stream_static_join", tags=("rows-only", "streaming"))
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins a static
+    per-user dimension (lifetime event totals computed in batch) —
+    the standard pattern for joining a stream against a slowly-changing
+    reference table.  The static side is planned per micro-batch, so
+    the planner broadcasts it like any dim; state stores hold nothing
+    for the static side (only stream-stream joins buffer).
+
+    tests/test_streaming.py checks parity against the all-batch twin.
+    """
+    ev = stream_events(spark, sf_dir)
+    static = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    )
+    agg = (
+        ev.join(static, "user_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lifetime_events").alias("max_lifetime"),
+        )
+    )
+    name, s = run_to_memory(agg, "complete")
+    return s.table(name)
+
+
+@query("stream_stream_join", tags=("rows-only", "streaming"))
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to the same user's
+    purchases within the following 30 minutes.  Both sides carry
+    watermarks and the join condition bounds event time in BOTH
+    directions, so each side's buffered state is evictable — the only
+    configuration where Spark can bound stream-stream join state.
+
+    The joined rows land in an append-mode sink; the returned frame is
+    the per-user pairing count (batch rollup over the sink table, so
+    the result is deterministic and small).
+    """
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name, s = run_to_memory(joined, "append")
+    return (
+        s.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+        .orderBy("user_id")
+    )

@@ -171,3 +171,12 @@ def test_text_chunk_is_shuffle_free(spark):
     # exactly the sort's exchange, nothing structural
     assert text.count("Exchange") <= 2, text
     assert "Generate" in text, text
+
+
+def test_lateral_join_decorrelates(spark):
+    """The LATERAL LIMIT-per-key subquery must decorrelate to a window
+    rank — never a per-row nested loop."""
+    df = REGISTRY["join_lateral"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "CartesianProduct" not in text, text
+    assert "Window" in text, text

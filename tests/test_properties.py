@@ -143,3 +143,33 @@ def test_approx_distinct_close_to_exact(spark):
     }
     for k, v in exact.items():
         assert abs(approx[k] - v) / max(v, 1) < 0.15, (k, approx[k], v)
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must conserve tokens and produce contiguous bins:
+    per lang, sum(total_tokens) equals the corpus token count, seq_ids
+    start at 0 with no gaps, and every bin except the last holds less
+    than budget + its last doc (greedy start-offset packing)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.pipeline import (
+        q_pipeline_pack_sequences,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    packed = q_pipeline_pack_sequences(spark, TEST_SF_DIR).collect()
+    docs = load_tables(spark, TEST_SF_DIR)["documents"]
+    truth = {
+        r["lang"]: r["tok"]
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.size(F.split(F.col("text"), " "))).alias("tok"))
+        .collect()
+    }
+    by_lang: dict[str, list] = {}
+    for r in packed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(truth)
+    for lang, rows in by_lang.items():
+        seq_ids = sorted(r["seq_id"] for r in rows)
+        assert seq_ids == list(range(len(seq_ids))), f"{lang}: gaps {seq_ids}"
+        assert sum(r["total_tokens"] for r in rows) == truth[lang]

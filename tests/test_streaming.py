@@ -84,3 +84,40 @@ def test_stream_sink_covers_all_events(spark):
     stream = REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR)
     total = stream.agg(F.sum("n")).collect()[0][0]
     assert total == load_tables(spark, TEST_SF_DIR)["events"].count()
+
+
+def test_stream_static_join_matches_batch(spark):
+    stream = REGISTRY["stream_static_join"].fn(spark, TEST_SF_DIR)
+    ev = load_tables(spark, TEST_SF_DIR)["events"]
+    static = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("lifetime_events"))
+    batch = (
+        ev.join(static, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lifetime_events").alias("max_lifetime"),
+        )
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_stream_join_matches_batch(spark):
+    stream = REGISTRY["stream_stream_join"].fn(spark, TEST_SF_DIR)
+    ev = load_tables(spark, TEST_SF_DIR)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))

@@ -808,3 +808,99 @@ def q_query_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
+
+
+@query(
+    "query_parts_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23'
+      AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_query_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can provide parts of each
+    (brand, type, size), excluding flagged suppliers (negative balance
+    stands in for the missing complaints text).  The fixture carries
+    no partsupp table, but lineitem's distinct (partkey, suppkey)
+    pairs ARE the observed supply relation — the same trick a lakehouse
+    uses when the dimension is implicit in the facts.
+
+    Distinct-pair extraction shuffles once; the flagged-supplier set
+    is a broadcast anti-join (NOT IN on a 6-row side); part is a
+    broadcast.  COUNT(DISTINCT) re-shuffles only the surviving pairs.
+    """
+    t = load_tables(spark, sf_dir)
+    ps = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    flagged = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#23") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    return (
+        ps.join(F.broadcast(flagged), ps.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "query_important_stock",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l_partkey,
+               SUM(l_extendedprice * l_quantity) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(val, 4) AS stock_value
+    FROM value_by_part
+    WHERE ROUND(val, 4) > (SELECT ROUND(SUM(val) * 0.002, 4) FROM value_by_part)
+    ORDER BY stock_value DESC, l_partkey
+    """,
+)
+def q_query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's observed supply value (lineitem value stands in for the
+    missing partsupp stock), HAVING-against-scalar-subquery.
+
+    The per-part aggregate is computed ONCE and reused for both the
+    grand total (one-row broadcast) and the filter — no recompute, no
+    collect.  Both sides of the significance comparison are rounded
+    first, so a last-bit summation-order difference between engines
+    can never flip a borderline part in or out.
+    """
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"].filter(F.col("n_name") == "NATION_7").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value_by_part = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val"))
+    )
+    thresh = value_by_part.agg(
+        F.round(F.sum("val") * 0.002, 4).alias("thresh")
+    )
+    return (
+        value_by_part.join(F.broadcast(thresh))
+        .filter(F.round(F.col("val"), 4) > F.col("thresh"))
+        .select("l_partkey", F.round(F.col("val"), 4).alias("stock_value"))
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )

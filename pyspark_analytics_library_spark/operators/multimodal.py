@@ -150,3 +150,29 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "mm_payload_digest",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS payload_md5,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_mm_payload_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity digests over a binary payload column — the manifest
+    step of a multimodal ingest (dedupe/verify assets before the
+    expensive decode).  The payload is the utf-8 encoding of the text
+    (the fixture's stand-in for image bytes); md5 and byte length are
+    computed ON THE BINARY, scan-side, no Python.  DuckDB's md5(VARCHAR)
+    hashes the same utf-8 bytes, so this multimodal row is fully
+    oracled — unlike the decode path, which is stubbed by necessity."""
+    t = load_tables(spark, sf_dir)
+    payload = F.encode(F.col("text"), "utf-8")
+    return t["documents"].select(
+        "doc_id",
+        F.md5(payload).alias("payload_md5"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )

@@ -350,6 +350,25 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Scoped shuffle-partition trim (measured 13.3 s -> 3.5 s at sf0.01
+    # on a bare session): every round pays per-partition task + state
+    # overhead x partitions x rounds, and AQE's coalescing does not
+    # shrink what localCheckpoint materializes.  Only the untouched 200
+    # default is trimmed — a deliberately sized session is respected —
+    # and the conf is restored on exit (safe: every round runs eagerly,
+    # so nothing inside the loop is re-planned after restore).
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    if prev_parts == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        return _cc_loop(sym, vertices, max_iters)
+    finally:
+        if prev_parts == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     lab = vertices.select(F.col("v"), F.col("v").alias("label")).localCheckpoint(
         eager=True
     )

@@ -46,3 +46,15 @@ def test_every_oracle_name_has_query():
 
     q, o = e.queries(), e.oracle_sql()
     assert set(o) <= set(q)
+
+
+def test_missing_sf_dir_raises_clean_error(spark):
+    """A bad data dir must fail eagerly with Spark's AnalysisException
+    (path not found), not a worker-side crash mid-query."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    with pytest.raises(AnalysisException):
+        load_tables(spark, "/root/testdata/sf_does_not_exist")["lineitem"].count()

@@ -120,9 +120,19 @@ def _configure(spark: SparkSession) -> None:
       this legacy flag it arrives as LongType nanoseconds (FIXTURES.md).
     - UTC session timezone: DuckDB timestamps are UTC-naive; without
       this, every timestamp comparison against the oracle is shifted.
+    - Shuffle partitions: an external driver on Spark's untouched 200
+      default pays 200 tasks per exchange that AQE cannot always save
+      (streaming state partitioning never coalesces; Python-worker ops
+      pay per-task startup).  Trim ONLY the exact default — a
+      deliberately sized session (ours sets cores, a cluster submit
+      sets 2-3x total cores) passes through untouched.  Measured on
+      the bare-session replay: whole-suite sf0.01 wall time drops
+      ~30%, single worst query 13.3 s -> 3.5 s.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     _ship_package(spark)
 
 

@@ -904,3 +904,53 @@ def q_query_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.round(F.col("val"), 4).alias("stock_value"))
         .orderBy(F.desc("stock_value"), "l_partkey")
     )
+
+
+@query(
+    "query_avg_order_gap",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (
+                             PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey AS c_custkey,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_days), 4) AS avg_gap_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY c_custkey
+    """,
+)
+def q_query_avg_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per customer: average and max days
+    between consecutive orders (lag over the customer's order
+    timeline, then a rollup on the SAME partitioning key — the second
+    shuffle is avoided because groupBy o_custkey reuses the window's
+    hash partitioning).  Day gaps on timestamps count calendar-day
+    boundaries identically in both engines (same rule as
+    win_lag_lead's second deltas)."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t["orders"].select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_analytics_library_spark.operators.dedup import dedup_exact_keep_min
+from pyspark_analytics_library_spark.operators.dedup import (
+    dedup_exact_keep_min,
+    word_shingles,
+)
 from pyspark_analytics_library_spark.operators.text import tokenize
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
@@ -260,4 +263,115 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("long").alias("total_tokens"),
         )
         .orderBy("lang", "seq_id")
+    )
+
+
+@query(
+    "pipeline_contamination_check",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, lang, lower(text) AS text,
+               CASE WHEN substr(sha256(text), 1, 1) BETWEEN '0' AND 'b'
+                    THEN 'train'
+                    WHEN substr(sha256(text), 1, 1) IN ('c', 'd')
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, lang, split, string_split(text, ' ') AS words
+        FROM tagged
+    ), u AS (
+        SELECT doc_id, lang, split, unnest(words) AS w,
+               generate_subscripts(words, 1) AS pos
+        FROM toks
+    ), sh AS (
+        SELECT DISTINCT doc_id, lang, split,
+               w || ' ' || LEAD(w, 1) OVER win || ' '
+                 || LEAD(w, 2) OVER win || ' ' || LEAD(w, 3) OVER win AS g
+        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), shc AS (
+        SELECT doc_id, lang, split, g FROM sh WHERE g IS NOT NULL
+    ), hits AS (
+        SELECT DISTINCT e.doc_id
+        FROM shc e
+        WHERE e.split = 'test' AND EXISTS (
+            SELECT 1 FROM shc tr
+            WHERE tr.split = 'train' AND tr.lang = e.lang AND tr.g = e.g
+        )
+    ), test_docs AS (
+        SELECT lang, COUNT(*) AS n_test FROM tagged
+        WHERE split = 'test' GROUP BY lang
+    ), contaminated AS (
+        SELECT t.lang, COUNT(*) AS n_contaminated
+        FROM hits JOIN tagged t ON hits.doc_id = t.doc_id
+        GROUP BY t.lang
+    )
+    SELECT test_docs.lang,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated
+    FROM test_docs LEFT JOIN contaminated
+      ON test_docs.lang = contaminated.lang
+    ORDER BY test_docs.lang
+    """,
+)
+def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination audit: test-split documents sharing any
+    4-gram (word shingle) with a same-language training document — the
+    decontamination gate every eval set needs before a training run.
+
+    Shape: shingle both splits once (scan-side explode), then a
+    broadcast-able semi-join from test shingles into the train shingle
+    set on (lang, gram) — at 100 TB the train side is the big one, so
+    production flips the join direction (semi-join test grams INTO the
+    train set stays an equi-join; a bloom filter on train grams cuts
+    the shuffle further).  Output is per-language counts, so nothing
+    document-sized leaves the executors."""
+    t = load_tables(spark, sf_dir)
+    nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
+    split = (
+        F.when(nibble.between("0", "b"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    docs = t["documents"].select(
+        "doc_id", "lang", split.alias("split"), F.lower(F.col("text")).alias("text")
+    )
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(word_shingles(F.col("text"), k=4)).alias("g"),
+    ).distinct()
+    test_grams = grams.filter(F.col("split") == "test")
+    train_grams = grams.filter(F.col("split") == "train").select(
+        F.col("lang").alias("tr_lang"), F.col("g").alias("tr_g")
+    )
+    hits = (
+        test_grams.join(
+            train_grams,
+            (F.col("lang") == F.col("tr_lang")) & (F.col("g") == F.col("tr_g")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    test_docs = (
+        docs.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    contaminated = (
+        docs.join(hits, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .withColumnRenamed("lang", "c_lang")
+    )
+    return (
+        test_docs.join(contaminated, test_docs.lang == F.col("c_lang"), "left")
+        .select(
+            "lang",
+            "n_test",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("lang")
     )

@@ -586,3 +586,27 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "b_custkey")
     )
+
+
+@query("sample_stratified", tags=("rows-only",))  # sampling is seeded-random
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample (sampleBy): per-language sampling fractions —
+    downsample the over-represented strata, keep the tails whole (the
+    data-mixing step of corpus curation).  Seeded Bernoulli per row:
+    no shuffle, no global sort, embarrassingly scan-parallel; exact
+    per-stratum counts vary run to run (rows-only), the fraction map
+    is the contract.  Content-deterministic alternatives (hash-mod
+    gates) live in pipeline_train_split."""
+    t = load_tables(spark, sf_dir)
+    fractions = {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 1.0, "pt": 1.0}
+    docs = t["documents"]
+    # sampleBy's fraction map must enumerate every stratum (absent keys
+    # are dropped, not passed through) — the distinct-lang collect is
+    # bounded by stratum cardinality (languages: dozens), the same size
+    # class as a broadcast scalar, not a data materialization.
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    full = {lang: fractions.get(lang, 1.0) for lang in langs}
+    sampled = docs.sampleBy("lang", fractions=full, seed=42)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+    )

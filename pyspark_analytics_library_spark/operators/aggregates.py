@@ -685,3 +685,37 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_product",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(product(1.0 - l_discount), 6) AS compound_keep,
+           ROUND(EXP(SUM(LN(1.0 + l_tax))), 6) AS compound_tax
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_quantity >= 49
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative aggregates: native product() and its log-space
+    twin EXP(SUM(LN x)) — compounding factors per group (the
+    compound-growth / survival-probability pattern).  Log-space is the
+    100 TB-safe form (sums partial-aggregate and never under/overflow);
+    the filter keeps the group small enough that double product and
+    exp-sum-log agree to the rounded precision on both engines."""
+    t = load_tables(spark, sf_dir)
+    keep = 1.0 - F.col("l_discount")
+    tax = 1.0 + F.col("l_tax")
+    return (
+        t["lineitem"]
+        .filter((F.col("l_linenumber") == 1) & (F.col("l_quantity") >= 49))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.product(keep), 6).alias("compound_keep"),
+            F.round(F.exp(F.sum(F.log(tax))), 6).alias("compound_tax"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -216,3 +216,40 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           nth_value(o_totalprice, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_price,
+           COALESCE(nth_value(o_totalprice, 3) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ), -1.0) AS third_price
+    FROM orders
+    """,
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame (each customer's 2nd and
+    3rd order price by date).  The frame must be UNBOUNDED FOLLOWING on
+    both engines — the default running frame would return NULL until
+    row n arrives.  NULL for customers with fewer orders (3rd price
+    coalesced to -1 for hash-stable compare)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.coalesce(F.nth_value("o_totalprice", 3).over(w), F.lit(-1.0)).alias(
+            "third_price"
+        ),
+    )

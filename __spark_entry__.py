@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
+from pyspark_analytics_library_spark.registry import (
+    REGISTRY,
+    load_all_query_modules,
+    ordered_registry,
+)
 from pyspark_analytics_library_spark.sources.io import load_tables  # noqa: F401
 
 load_all_query_modules()
@@ -32,12 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered round-robin by operator family so any prefix of this dict
+    spans every module (the registration order itself follows import
+    order, which cross-module imports distort).
+    """
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in ordered_registry().items()
+        if spec.oracle is not None
     }

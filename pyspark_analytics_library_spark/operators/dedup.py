@@ -227,7 +227,7 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b, lang,
            ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
     FROM pairs
-    WHERE ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) >= 0.2
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,14 +267,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bkt") == F.col("bkt_b"))
         & (F.col("id_a") < F.col("id_b")),
     )
+    # Threshold on the UNROUNDED ratio (identical IEEE division on both
+    # engines) and round only the output column: filtering on the rounded
+    # value would admit ratios down to 0.19995, whose shingle-count ratio
+    # can exceed 5 — outside what the ±1 log₅-bucket probe guarantees.
     return (
         pairs.select(
             "id_a",
             "id_b",
             "lang",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("jaccard"),
+            jaccard(F.col("sh_a"), F.col("sh_b")).alias("j_raw"),
         )
-        .filter(F.col("jaccard") >= 0.2)
+        .filter(F.col("j_raw") >= 0.2)
+        .select("id_a", "id_b", "lang", F.round(F.col("j_raw"), 4).alias("jaccard"))
     )
 
 
@@ -368,10 +373,22 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative algorithm exhausts max_iters unconverged.
+
+    Partially converged component labels are silently WRONG (split
+    components), so the loop refuses to return them — callers either
+    raise ``max_iters`` (log₂(diameter) rounds suffice under pointer
+    doubling, so 15 covers any graph of diameter < 32768) or catch and
+    accept partial labels explicitly.
+    """
+
+
 def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     lab = vertices.select(F.col("v"), F.col("v").alias("label")).localCheckpoint(
         eager=True
     )
+    changed = 0
     for _ in range(max_iters):
         nb = (
             sym.join(lab, sym.src == lab.v)
@@ -403,6 +420,12 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
         lab = doubled
         if changed == 0:
             break
+    if changed != 0:
+        raise ConvergenceError(
+            f"connected components did not converge within {max_iters} "
+            f"pointer-doubling rounds ({changed} labels still changing); "
+            "returning partial labels would silently split components"
+        )
     return lab
 
 

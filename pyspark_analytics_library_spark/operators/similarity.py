@@ -478,7 +478,7 @@ def q_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, ROUND(cos, 6) AS cos
     FROM c
     WHERE ROUND(cos, 6) >= 0.25
-    ORDER BY cos DESC, vec_id
+    ORDER BY ROUND(cos, 6) DESC, vec_id
     """,
 )
 def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:

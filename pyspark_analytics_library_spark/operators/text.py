@@ -456,15 +456,17 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: no shuffle at all — chunking is embarrassingly row-local,
     and the explode multiplies rows INSIDE the scan stage so a 100 TB
     corpus chunks at full scan parallelism.  1-based offsets match SQL
-    substring semantics on both engines.
+    substring semantics on both engines.  Empty documents (n_chars=0)
+    are filtered out rather than guarded with greatest(n_chars,1):
+    the guard would emit one empty chunk where the oracle's
+    generate_series(1, 0, 150) emits no row.
     """
     t = load_tables(spark, sf_dir)
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.col("n_chars").cast("int"), F.lit(1)), F.lit(150)
-    )
+    starts = F.sequence(F.lit(1), F.col("n_chars").cast("int"), F.lit(150))
     chunk = F.substring(F.col("text"), F.col("chunk_start").cast("int"), F.lit(200))
     return (
         t["documents"]
+        .filter(F.col("n_chars") >= 1)
         .select("doc_id", "text", F.explode(starts).alias("chunk_start"))
         .select(
             "doc_id",

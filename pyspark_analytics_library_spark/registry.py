@@ -43,6 +43,61 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+#: Module emission order for :func:`ordered_registry`.  Round-robin across
+#: modules (one query from each, repeating) so any prefix of the registry
+#: — e.g. a driver that samples the first N queries — spans every operator
+#: family instead of exhausting one module at a time.  Modules whose
+#: queries had no driver CORRECTNESS row in rounds 1-2 (the driver's
+#: sample covered relational/composite/skew/dedup/text/pipeline twice)
+#: lead the cycle so they are hard-verified first.
+_MODULE_ORDER = (
+    "aggregates",
+    "windows",
+    "setops",
+    "timeseries",
+    "similarity",
+    "udf",
+    "scalar",
+    "scan_queries",
+    "stream_queries",
+    "multimodal",
+    "pipeline",
+    "relational",
+    "composite",
+    "skew",
+    "dedup",
+    "text",
+)
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY re-ordered round-robin by module (see _MODULE_ORDER).
+
+    Registration order follows Python import order, which cross-module
+    imports distort (importing ``pipeline`` registers ``dedup``/``text``
+    first); this function is the stable, intent-bearing order used by
+    ``__spark_entry__.queries()``.  Modules not in _MODULE_ORDER (new
+    ones not yet prioritized) are appended alphabetically.
+    """
+    by_module: dict[str, list[QuerySpec]] = {}
+    for spec in REGISTRY.values():
+        mod = spec.fn.__module__.rsplit(".", 1)[-1]
+        by_module.setdefault(mod, []).append(spec)
+    module_cycle = [m for m in _MODULE_ORDER if m in by_module]
+    module_cycle += sorted(m for m in by_module if m not in _MODULE_ORDER)
+    out: dict[str, QuerySpec] = {}
+    queues = {m: list(by_module[m]) for m in module_cycle}
+    while queues:
+        for mod in list(module_cycle):
+            if mod not in queues:
+                continue
+            spec = queues[mod].pop(0)
+            out[spec.name] = spec
+            if not queues[mod]:
+                del queues[mod]
+    return out
+
+
 def load_all_query_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     # Imports are local to avoid circular imports at package-init time.

@@ -82,12 +82,19 @@ def _package_zip() -> str:
         f"pyspark_analytics_library_spark-pyfiles-{digest.hexdigest()[:12]}",
     )
     if not os.path.exists(archive_base + ".zip"):
-        shutil.make_archive(
-            archive_base,
+        # Build at a pid-unique scratch name, then os.replace() into the
+        # shared digest-named path: a concurrent process running the same
+        # code could otherwise pass the exists() check mid-write and
+        # addPyFile a partially written zip.  os.replace is atomic on the
+        # same filesystem, and identical digests mean identical contents,
+        # so whichever writer lands last is equivalent.
+        scratch = shutil.make_archive(
+            f"{archive_base}-build-{os.getpid()}",
             "zip",
             root_dir=os.path.dirname(pkg_root),
             base_dir=os.path.basename(pkg_root),
         )
+        os.replace(scratch, archive_base + ".zip")
     _ZIP_PATH = archive_base + ".zip"
     return _ZIP_PATH
 
@@ -120,18 +127,24 @@ def _configure(spark: SparkSession) -> None:
       this legacy flag it arrives as LongType nanoseconds (FIXTURES.md).
     - UTC session timezone: DuckDB timestamps are UTC-naive; without
       this, every timestamp comparison against the oracle is shifted.
-    - Shuffle partitions: an external driver on Spark's untouched 200
-      default pays 200 tasks per exchange that AQE cannot always save
-      (streaming state partitioning never coalesces; Python-worker ops
-      pay per-task startup).  Trim ONLY the exact default — a
-      deliberately sized session (ours sets cores, a cluster submit
-      sets 2-3x total cores) passes through untouched.  Measured on
-      the bare-session replay: whole-suite sf0.01 wall time drops
-      ~30%, single worst query 13.3 s -> 3.5 s.
+    - Shuffle partitions: an external LOCAL driver on Spark's untouched
+      200 default pays 200 tasks per exchange that AQE cannot always
+      save (streaming state partitioning never coalesces; Python-worker
+      ops pay per-task startup).  Trim ONLY on a local[*] master AND
+      only the exact 200 default — a deliberately sized session passes
+      through untouched, and a *cluster* session is never touched at
+      all: silently pinning 32 reducers under a 1000-executor job would
+      be a petabyte-shuffle bottleneck, so cluster admins keep their own
+      sizing (2-3x total cores, or AQE coalescing from a high initial
+      count).  Measured on the bare-session local replay: whole-suite
+      sf0.01 wall time drops ~30%, single worst query 13.3 s -> 3.5 s.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    if (
+        spark.sparkContext.master.startswith("local")
+        and spark.conf.get("spark.sql.shuffle.partitions", "200") == "200"
+    ):
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     _ship_package(spark)
 

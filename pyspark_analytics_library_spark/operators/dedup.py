@@ -18,6 +18,7 @@ so; at scale they exist to validate LSH recall on samples.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -40,18 +41,26 @@ def word_shingles(text_col: Column, k: int = 3) -> Column:
 
 
 def dedup_exact_keep_min(
-    df: DataFrame, group_cols: list[Column | str], order_col: str
+    df: DataFrame, group_cols: list[str], order_col: str
 ) -> DataFrame:
     """Exact dedup with a deterministic keeper (min ``order_col`` per
     duplicate group) — ``dropDuplicates`` keeps an arbitrary row, which
-    can never parity-check across engines."""
-    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col).asc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_dupes", F.count(F.lit(1)).over(Window.partitionBy(*group_cols)))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    can never parity-check across engines.
+
+    Implemented as ONE hash aggregate (min + min_by + count), not a
+    window: the aggregate gets map-side partial aggregation, so at
+    100 TB only one pre-combined row per group per map task reaches the
+    shuffle, where the window formulation shuffles and sorts EVERY row.
+    ``min_by`` carries the keeper's non-key columns (deterministic here
+    because ``order_col`` is unique per group, same contract as the
+    row_number formulation).
+    """
+    other = [c for c in df.columns if c not in group_cols and c != order_col]
+    return df.groupBy(*group_cols).agg(
+        F.min(order_col).alias(order_col),
+        *[F.min_by(c, order_col).alias(c) for c in other],
+        F.count(F.lit(1)).alias("n_dupes"),
+    ).select(*df.columns, "n_dupes")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -331,26 +340,39 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iters: int = 15
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 30
 ) -> DataFrame:
     """Min-label connected components over (src, dst) edges: every
     vertex ends up labeled with the smallest vertex id in its
     component — the step that turns near-dup PAIRS into dedup GROUPS
     (pick one keeper per component).
 
-    Each round combines neighbor-min propagation with pointer doubling
-    (label <- label's label), the hash-to-min scheme that converges in
-    O(log diameter) rounds instead of O(diameter) — the difference
-    between 40 and 10,000 shuffles on a chain-shaped 100 TB dup graph.
-    Every round ends in ``localCheckpoint(eager=True)``: the doubling
-    step references the previous frame TWICE, so without a lineage
-    CUT the logical plan doubles per round and the driver OOMs
-    analyzing it long before any data is big (cache() truncates
-    recompute, NOT the plan tree — learned the hard way at sf0.01 on
-    a 1 GB bare driver).  A cluster run would use reliable
-    checkpoint() instead; same plan surgery, durable storage.  The
-    convergence check is one driver-side scalar per round (the same
-    pattern as any Pregel-style loop).
+    Algorithm: two-phase hash-to-min.  Each round (1) takes the min
+    label over each vertex's neighborhood, then (2) takes the min of
+    that over each CURRENT LABEL GROUP and joins it back through both
+    the old and the new label.  Phase 2 is what makes the round count
+    O(log n): labels form shrinking star clusters whose mins merge
+    pairwise per round regardless of how vertex ids are laid out.
+    (The previous formulation — pointer doubling, label <- label(label)
+    — is only logarithmic when ids increase along paths; on the real
+    fixture graph, whose doc_ids are RANDOM along the n_chars chain,
+    it degraded to near-linear rounds: >20 rounds at sf0.1 where this
+    scheme takes 8, and a 500-node chain took 84-342 rounds in
+    simulation vs ≤10 for group-min.)
+
+    Every round materializes the label table to a pid-scoped scratch
+    parquet and re-reads it.  This does TWO jobs ``localCheckpoint``
+    does not: it cuts the logical plan (cache() truncates recompute,
+    NOT the plan tree) AND it resets Catalyst's size statistics —
+    LogicalRDD carries the ORIGIN plan's estimated stats, and a
+    join's size estimate is the product of its children's, so the
+    carried estimate compounds exponentially across rounds until the
+    driver OOMs inside the BigInteger stats arithmetic (observed at
+    sf0.1, round ~20: 30 s planning per round, then heap exhaustion).
+    A cluster run writes the same per-round table to durable storage
+    — this is exactly GraphFrames' periodic-checkpoint discipline.
+    The convergence check is one driver-side scalar per round (the
+    same pattern as any Pregel-style loop).
     """
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -378,52 +400,86 @@ class ConvergenceError(RuntimeError):
 
     Partially converged component labels are silently WRONG (split
     components), so the loop refuses to return them — callers either
-    raise ``max_iters`` (log₂(diameter) rounds suffice under pointer
-    doubling, so 15 covers any graph of diameter < 32768) or catch and
+    raise ``max_iters`` (group-min hash-to-min needs ~log₂(n) rounds,
+    so the default 30 covers any graph of ~10⁹ vertices) or catch and
     accept partial labels explicitly.
     """
 
 
+def _cc_checkpoint(df: DataFrame, scratch_root: str, round_no: int) -> DataFrame:
+    """Materialize a loop frame to scratch parquet and re-read it —
+    cuts BOTH the logical plan and the carried size statistics (see
+    connected_components docstring).  Keeps only the latest round's
+    files; the final round's files back the returned DataFrame, so the
+    (pid-scoped, tiny) directory is left for the OS tempdir cleaner."""
+    import shutil
+
+    path = os.path.join(scratch_root, f"round_{round_no}")
+    df.write.mode("overwrite").parquet(path)
+    prev = os.path.join(scratch_root, f"round_{round_no - 1}")
+    shutil.rmtree(prev, ignore_errors=True)
+    return df.sparkSession.read.parquet(path)
+
+
 def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
-    lab = vertices.select(F.col("v"), F.col("v").alias("label")).localCheckpoint(
-        eager=True
+    import tempfile
+
+    scratch_root = os.path.join(
+        tempfile.gettempdir(), f"pyspark_analytics_cc_{os.getpid()}"
+    )
+    lab = _cc_checkpoint(
+        vertices.select(F.col("v"), F.col("v").alias("label")), scratch_root, 0
     )
     changed = 0
-    for _ in range(max_iters):
+    for round_no in range(1, max_iters + 1):
+        # Phase 1: neighbor-min — c(v) = min label over {v} ∪ N(v).
         nb = (
             sym.join(lab, sym.src == lab.v)
             .groupBy(F.col("dst").alias("nv"))
             .agg(F.min("label").alias("nb_min"))
         )
-        stepped = (
-            lab.join(nb, lab.v == F.col("nv"), "left")
+        stepped = lab.join(nb, lab.v == F.col("nv"), "left").select(
+            "v",
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("c"),
+        )
+        # Phase 2: group-min — g(l) = min c(v) over the vertices whose
+        # OLD label is l; every member then drops to min(c, g(old),
+        # g(c)).  Joining g through BOTH the old and the candidate
+        # label merges label clusters pairwise, which is what keeps
+        # the round count logarithmic on adversarial id layouts.
+        gmin = stepped.groupBy(F.col("old_label").alias("l")).agg(
+            F.min("c").alias("gm")
+        )
+        new_lab = (
+            stepped.join(gmin, stepped.old_label == gmin.l, "left")
+            .select("v", "old_label", "c", F.col("gm").alias("gm_old"))
+            .join(
+                gmin.select(F.col("l").alias("l2"), F.col("gm").alias("gm_c")),
+                F.col("c") == F.col("l2"),
+                "left",
+            )
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("label"),
+                "old_label",
+                F.least(
+                    F.col("c"),
+                    F.coalesce("gm_old", "c"),
+                    F.coalesce("gm_c", "c"),
+                ).alias("label"),
             )
         )
-        a, b = stepped.alias("a"), stepped.alias("b")
-        doubled = (
-            a.join(b, F.col("a.label") == F.col("b.v"))
-            .select(
-                F.col("a.v").alias("v"),
-                F.least(F.col("a.label"), F.col("b.label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            doubled.alias("n")
-            .join(lab.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        lab = doubled
+        # Checkpoint BEFORE the convergence count so the round's plan
+        # executes once (the count reads the materialized parquet).
+        chk = _cc_checkpoint(new_lab, scratch_root, round_no)
+        changed = chk.filter(F.col("label") != F.col("old_label")).count()
+        lab = chk.select("v", "label")
         if changed == 0:
             break
     if changed != 0:
         raise ConvergenceError(
             f"connected components did not converge within {max_iters} "
-            f"pointer-doubling rounds ({changed} labels still changing); "
+            f"group-min rounds ({changed} labels still changing); "
             "returning partial labels would silently split components"
         )
     return lab

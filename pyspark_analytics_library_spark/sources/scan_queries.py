@@ -148,6 +148,60 @@ def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT lang, COUNT(*) AS lang_docs
+        FROM documents GROUP BY lang HAVING COUNT(*) >= 40
+    )
+    SELECT d.lang, COUNT(*) AS n_docs, CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim ON d.lang = dim.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact scan's partition filter is
+    only known at RUNTIME — it comes from a filtered dimension joined
+    on the partition column, not from a literal predicate.
+
+    The lang-partitioned documents layout (same layout as
+    scan_partition_pruning) is joined to a dim of "high-volume"
+    languages (≥ 40 docs, computed from the original table).  Catalyst
+    inserts a DynamicPruningExpression into the fact scan's
+    PartitionFilters, reusing the dim's broadcast exchange as the
+    subquery (tests/test_plans.py pins `dynamicpruning` in the plan) —
+    so only the qualifying langs' directories are ever opened.  At
+    100 TB this is the other half of the pruning story: static pruning
+    covers literal predicates, DPP covers the star-join-on-partition-
+    key shape ("this quarter's fact files only", where "this quarter"
+    is itself a query result).
+    """
+    t = load_tables(spark, sf_dir)
+    path = _scratch("dpp_by_lang")
+    t["documents"].select("doc_id", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("lang_docs"))
+        .filter(F.col("lang_docs") >= 40)
+        .select(F.col("lang").alias("dim_lang"))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact.lang == dim.dim_lang)
+        .groupBy(F.col("lang").cast("string").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "sink_partition_overwrite",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang <> 'en'

@@ -135,6 +135,38 @@ def test_partitioned_layout_prunes_partitions(spark):
     assert "lang" in pf_line
 
 
+def test_dpp_inserts_dynamic_pruning_subquery(spark):
+    """scan_dpp: the runtime partition filter must appear as a
+    dynamicpruning expression in the fact scan's PartitionFilters —
+    the join must prune directories, not post-filter rows."""
+    df = REGISTRY["scan_dpp"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "dynamicpruning" in text.lower(), text
+    pf_line = text.split("PartitionFilters")[1].splitlines()[0]
+    assert "dynamicpruning" in pf_line.lower(), pf_line
+
+
+def test_market_share_broadcasts_dims_and_pushes_filters(spark):
+    """Q8 shape: dimension filters must reach the scans and the small
+    dims must broadcast — a silent regression to shuffled sort-merge
+    joins on dims is the classic 100 TB plan rot."""
+    df = REGISTRY["query_market_share"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "PushedFilters" in text, text
+    # (The plan legitimately contains SortMergeJoin too: lineitem ⋈
+    # orders is fact-fact and must shuffle — only the DIM hops are
+    # pinned to broadcast here.)
+
+
+def test_nation_profit_broadcasts_dims_and_pushes_filters(spark):
+    """Q9 shape: same guarantees for the 6-way star."""
+    df = REGISTRY["query_nation_profit"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "BroadcastHashJoin" in text, text
+    assert "PushedFilters" in text, text
+
+
 def test_waiting_suppliers_semi_and_anti(spark):
     """Q21's double correlation must compile to one LeftSemi and one
     LeftAnti hash join — never a join + distinct or a nested loop over

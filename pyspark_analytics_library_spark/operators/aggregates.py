@@ -719,3 +719,110 @@ def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+           ROUND(LEAST(FLOOR(o_totalprice / 50000.0), 11) * 50000.0, 2)
+               AS bucket_lo,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (12 × 50k buckets, top bucket open-ended)
+    over order value — the profiling primitive behind data-quality
+    dashboards.
+
+    Bucketing is pure scan-side arithmetic (FLOOR of a division — no
+    width_bucket dependency, identical semantics on both engines), so
+    the groupBy shuffles at most 12 partially-aggregated rows per task
+    at any input scale.  Fixed bounds avoid the two-pass min/max scan
+    a data-dependent histogram would need; the clamp keeps outliers in
+    the last bucket instead of an unbounded bucket id space.
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(11)).cast(
+        "long"
+    )
+    return (
+        t["orders"]
+        .groupBy(
+            bucket.alias("bucket"),
+            F.round(bucket * 50000.0, 2).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_moments",
+    oracle="""
+    WITH raw AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               AVG(l_extendedprice / 1000.0) AS m1,
+               AVG(POW(l_extendedprice / 1000.0, 2)) AS m2r,
+               AVG(POW(l_extendedprice / 1000.0, 3)) AS m3r,
+               AVG(POW(l_extendedprice / 1000.0, 4)) AS m4r
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND(m1, 4) AS mean_k,
+           ROUND(m2r - m1 * m1, 4) AS variance_k,
+           ROUND((m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1)
+                 / POW(m2r - m1 * m1, 1.5), 4) AS skewness,
+           ROUND((m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r
+                  - 3 * POW(m1, 4))
+                 / POW(m2r - m1 * m1, 2) - 3.0, 4) AS kurtosis_excess
+    FROM raw
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group, derived from
+    raw moments so both engines run the SAME arithmetic (builtin
+    skewness()/kurtosis() differ in sample-vs-population convention
+    across engines — deriving from E[x^k] removes the ambiguity).
+
+    One hash aggregate computes four raw moments (map-side partial:
+    each task ships 5 doubles per group); the central-moment algebra is
+    a scalar projection afterwards.  Prices are rescaled by 1e-3 before
+    the 4th power to keep Σx⁴ well-conditioned in float64 — skewness
+    and kurtosis are scale-invariant, so the output is unchanged.
+    """
+    t = load_tables(spark, sf_dir)
+    x = F.col("l_extendedprice") / 1000.0
+    raw = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(x).alias("m1"),
+            F.avg(F.pow(x, 2)).alias("m2r"),
+            F.avg(F.pow(x, 3)).alias("m3r"),
+            F.avg(F.pow(x, 4)).alias("m4r"),
+        )
+    )
+    m1, m2r, m3r, m4r = (F.col(c) for c in ("m1", "m2r", "m3r", "m4r"))
+    var = m2r - m1 * m1
+    m3 = m3r - 3 * m1 * m2r + 2 * m1 * m1 * m1
+    m4 = m4r - 4 * m1 * m3r + 6 * m1 * m1 * m2r - 3 * F.pow(m1, 4)
+    return raw.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 4).alias("mean_k"),
+        F.round(var, 4).alias("variance_k"),
+        F.round(m3 / F.pow(var, 1.5), 4).alias("skewness"),
+        F.round(m4 / F.pow(var, 2) - 3.0, 4).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")

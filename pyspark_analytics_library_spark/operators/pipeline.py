@@ -17,7 +17,7 @@ a chain of checkpointed tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.operators.dedup import (
@@ -375,3 +375,142 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_lang_rebalance",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY md5(text), doc_id
+               ) AS BIGINT) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang, rn FROM ranked WHERE rn <= 40
+    ORDER BY lang, rn
+    """,
+)
+def q_pipeline_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance a multilingual corpus by capping each language at 40
+    docs, selected by CONTENT-HASH priority rather than rand() — the
+    downsampling step that stops one dominant language from swamping a
+    training mix.
+
+    Hash-priority selection (order by md5(text)) is deterministic
+    across cluster sizes, partitionings and reruns — the same property
+    pipeline_train_split uses for splits — while still being
+    effectively uniform.  One window per language; no sampling RNG, no
+    driver coordination.  At 100 TB the row_number window only pays a
+    shuffle on lang; a skew-prone lang key can be pre-capped with the
+    salted-topk pattern from skew.py.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("long").alias("rn")
+        )
+        .filter(F.col("rn") <= 40)
+        .orderBy("lang", "rn")
+    )
+
+
+@query(
+    "pipeline_token_budget",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+               ) AS BIGINT) AS cum_tokens
+        FROM tok
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 3000
+    ORDER BY lang, doc_id
+    """,
+)
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: admit documents per language (in
+    stable doc_id order) until a 3k-token budget is exhausted — how a
+    fixed-size training mix is actually drawn from an oversized pool.
+
+    The cumulative sum is a running window (O(1) state); the budget
+    predicate then prunes everything past the cut WITHOUT a second
+    pass, because the running total is monotone.  Token counting stays
+    scan-side (split + size — no UDF).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 3000)
+        .orderBy("lang", "doc_id")
+    )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_docs,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT)
+                   AS n_sources
+        FROM counts
+    )
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_docs AS DOUBLE) / lang_docs, 6) AS actual_share,
+           ROUND(1.0 / n_sources, 6) AS target_share,
+           ROUND(CAST(lang_docs AS DOUBLE) / n_sources / n_docs, 6)
+               AS sample_weight
+    FROM tot
+    ORDER BY lang, source
+    """,
+)
+def q_pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture audit: per (lang, source) doc/token counts, the
+    source's actual share of its language, and the resampling weight
+    that would equalize sources — the bookkeeping behind "reweight web
+    vs books vs code" decisions.
+
+    Two aggregation granularities (slice and language) come from ONE
+    shuffle: the per-lang totals are windows over the already-tiny
+    slice aggregate, not a second pass over the data.  Output is
+    slices × languages rows at any input scale.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(n_tok).alias("n_tokens")
+    )
+    w_lang = Window.partitionBy("lang")
+    lang_docs = F.sum("n_docs").over(w_lang)
+    n_sources = F.count(F.lit(1)).over(w_lang)
+    return counts.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / lang_docs, 6).alias("actual_share"),
+        F.round(1.0 / n_sources, 6).alias("target_share"),
+        F.round(lang_docs.cast("double") / n_sources / F.col("n_docs"), 6).alias(
+            "sample_weight"
+        ),
+    ).orderBy("lang", "source")

@@ -503,3 +503,47 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.25)
         .orderBy(F.desc("cos"), F.asc("vec_id"))
     )
+
+
+@query(
+    "sim_centroid",
+    oracle="""
+    WITH p AS (
+        SELECT label, i, ROUND(AVG(embedding[i]), 6) AS v
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY label, i
+    )
+    SELECT label, COUNT(*) AS dim, list(v ORDER BY i) AS centroid
+    FROM p GROUP BY label ORDER BY label
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the building block of IVF cell
+    training, class prototypes, and centroid-based dedup.
+
+    posexplode flattens (vector → 64 scalar rows) INSIDE the scan
+    stage, the per-(label, dimension) mean is one map-side-combinable
+    hash aggregate, and the centroid is reassembled by sorting the
+    (pos, value) structs — array_sort on struct keys, no second
+    shuffle since the reassembly groups by a prefix of the same key.
+    This is the scale-correct alternative to collecting vectors and
+    averaging driver-side: nothing vector-sized ever leaves the
+    executors, and dimension parallelism is free (64 × labels rows).
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("v"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("dim"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"],
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

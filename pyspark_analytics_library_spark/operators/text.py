@@ -476,3 +476,45 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_start")
     )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(lower(text), '[!-/:-@\[-`{-~]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, length(norm) AS norm_chars, md5(norm) AS norm_fingerprint
+    FROM n ORDER BY doc_id
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — lowercase, strip ASCII
+    punctuation, collapse whitespace — fingerprinted with md5; the
+    pre-pass that makes exact dedup catch trivially-reformatted
+    copies.
+
+    Pure scan-side string algebra (two regexp_replace + trim + md5),
+    zero shuffles, whole-stage codegen.  The punctuation class is
+    spelled as explicit ASCII ranges ([!-/:-@[-`{-~]) because POSIX
+    class names ([:punct:]) bind differently across regex engines;
+    explicit ranges mean Java regex (Spark) and RE2 (DuckDB) agree
+    byte-for-byte, which the md5 fingerprint then proves per row.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[!-/:-@\\[-`{-~]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("norm_chars"),
+        F.md5(norm).alias("norm_fingerprint"),
+    ).orderBy("doc_id")

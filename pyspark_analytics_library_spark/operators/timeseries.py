@@ -205,6 +205,189 @@ def q_ts_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ohlc",
+    oracle="""
+    WITH v AS (
+        SELECT date_trunc('hour', ts) AS bar_hour, event_type, value,
+               FIRST_VALUE(value) OVER w AS open,
+               LAST_VALUE(value)  OVER w AS close
+        FROM events
+        WINDOW w AS (
+            PARTITION BY date_trunc('hour', ts), event_type
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    )
+    SELECT bar_hour, event_type,
+           MAX(open)  AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(close) AS close,
+           COUNT(*)   AS n_ticks,
+           ROUND(SUM(value), 4) AS volume
+    FROM v
+    GROUP BY bar_hour, event_type
+    """,
+)
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — the resample-to-bars operator
+    of a market-data / metrics pipeline.
+
+    open/close need the first and last tick by (ts, event_id) within
+    the bar, which no commutative aggregate expresses, so one window
+    pass (single shuffle on the bar key, one partition-local sort)
+    pins them as constants per bar and the follow-up groupBy collapses
+    with plain max/min/count/sum.  Both the window and the groupBy
+    hash on (bar_hour, event_type): AQE reuses the window's shuffle,
+    so the whole query is one exchange.  high/low/volume are
+    map-side-combinable; the sort is O(bar) not O(partition).  The
+    unique event_id suffix makes first/last a total order (§5.3.3).
+    """
+    t = load_tables(spark, sf_dir)
+    bar = F.date_trunc("hour", F.col("ts"))
+    w = (
+        Window.partitionBy(bar, F.col("event_type"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["events"]
+        .select(
+            bar.alias("bar_hour"),
+            "event_type",
+            "value",
+            F.first("value").over(w).alias("open"),
+            F.last("value").over(w).alias("close"),
+        )
+        .groupBy("bar_hour", "event_type")
+        .agg(
+            F.max("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max("close").alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+    )
+
+
+@query(
+    "ts_rolling_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               ROUND(SUM(value), 4) AS tv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, event_type, tv,
+           ROUND(AVG(tv) OVER w, 4) AS mean_7d,
+           ROUND(COALESCE(STDDEV_SAMP(tv) OVER w, 0.0), 4) AS sd_7d,
+           CASE WHEN COALESCE(STDDEV_SAMP(tv) OVER w, 0.0) = 0.0 THEN 0.0
+                ELSE ROUND((tv - AVG(tv) OVER w) / (STDDEV_SAMP(tv) OVER w), 4)
+           END AS zscore
+    FROM daily
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day z-score per event_type over daily volume — the
+    standard streaming anomaly detector, as pure window algebra.
+
+    The daily pre-aggregate collapses raw events BEFORE the window, so
+    the windowed series is days × types rows no matter the event
+    volume — the window state is O(7) and the expensive shuffle is the
+    map-side-combinable groupBy.  Day 1 of each series has a NULL
+    sample stddev (frame of one) → z pinned to 0.0 on both engines.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("tv"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    mean7 = F.avg("tv").over(w)
+    sd7 = F.coalesce(F.stddev_samp("tv").over(w), F.lit(0.0))
+    return daily.select(
+        "day",
+        "event_type",
+        "tv",
+        F.round(mean7, 4).alias("mean_7d"),
+        F.round(sd7, 4).alias("sd_7d"),
+        F.when(sd7 == 0.0, F.lit(0.0))
+        .otherwise(F.round((F.col("tv") - mean7) / F.stddev_samp("tv").over(w), 4))
+        .alias("zscore"),
+    )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               ROUND(SUM(value), 4) AS tv
+        FROM events GROUP BY 1, 2
+    ), idx AS (
+        SELECT day, event_type, tv,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) - 1 AS DOUBLE) AS i
+        FROM daily
+    )
+    SELECT day, event_type, tv,
+           ROUND(
+               SUM(tv * POW(1.0 / 0.7, i)) OVER w
+               / SUM(POW(1.0 / 0.7, i)) OVER w, 4) AS ewma
+    FROM idx
+    WINDOW w AS (
+        PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3, adjust-style
+    normalization) per event_type — WITHOUT a UDF or recursion.
+
+    EWMA looks inherently sequential (ewma_t = α·x_t + (1-α)·ewma_t-1)
+    but the adjusted form is a ratio of two running sums:
+    ewma_t = Σᵢ xᵢ·rⁱ / Σᵢ rⁱ with r = 1/(1-α) — the (1-α)^t factor
+    cancels between numerator and denominator.  Two running-SUM frames
+    over one shuffle, fully JVM-side, streaming-evaluable.
+
+    Scale note: rⁱ grows exponentially in the series ORDINAL (not the
+    data volume) — fine up to ~2000 points per key in float64
+    (r=1.43 → 10³¹⁰ at i≈2000); longer series need segmented
+    renormalization (restart i per segment, carry the segment-boundary
+    EWMA forward), which keeps the same two-sums shape.  The daily
+    pre-aggregate bounds the ordinal to days-since-epoch regardless of
+    raw event volume.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("tv"))
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    i = (F.row_number().over(w_ord) - 1).cast("double")
+    rpow = F.pow(F.lit(1.0 / 0.7), i)
+    return (
+        daily.withColumn("_rpow", rpow)
+        .select(
+            "day",
+            "event_type",
+            "tv",
+            F.round(
+                F.sum(F.col("tv") * F.col("_rpow")).over(w_run)
+                / F.sum("_rpow").over(w_run),
+                4,
+            ).alias("ewma"),
+        )
+    )
+
+
+@query(
     "ts_funnel",
     oracle="""
     WITH s1 AS (

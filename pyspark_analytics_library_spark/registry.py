@@ -51,6 +51,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: sample covered relational/composite/skew/dedup/text/pipeline twice)
 #: lead the cycle so they are hard-verified first.
 _MODULE_ORDER = (
+    "sql_surface",
+    "graph",
     "aggregates",
     "windows",
     "setops",
@@ -114,6 +116,8 @@ def load_all_query_modules() -> None:
     import pyspark_analytics_library_spark.operators.text  # noqa: F401
     import pyspark_analytics_library_spark.operators.udf  # noqa: F401
     import pyspark_analytics_library_spark.operators.multimodal  # noqa: F401
+    import pyspark_analytics_library_spark.operators.sql_surface  # noqa: F401
+    import pyspark_analytics_library_spark.operators.graph  # noqa: F401
     import pyspark_analytics_library_spark.functions.scalar  # noqa: F401
     import pyspark_analytics_library_spark.sources.scan_queries  # noqa: F401
     import pyspark_analytics_library_spark.streaming.stream_queries  # noqa: F401

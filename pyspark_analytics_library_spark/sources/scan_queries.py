@@ -279,3 +279,43 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(path, "gen=0"), os.path.join(path, "gen=1")
     )
     return back.select("doc_id", "lang", "quality")
+
+
+@query(
+    "scan_csv_options",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-default-dialect CSV round-trip: ';' delimiter, quoted
+    fields, custom nullValue — the messy-ingest path.  Written
+    executor-side with the same options the reader must honor; the
+    oracle compares against the ORIGINAL table, so delimiter/quote/null
+    handling must survive the full writer→reader loop.
+
+    Scale: CSV options are per-task stream settings (no global pass);
+    explicit read schema avoids the inference scan, and the negative-
+    balance filter is pushed into the CSV reader's row pruning.
+    """
+    t = load_tables(spark, sf_dir)
+    subset = t["customer"].filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = _scratch("sink_csv_options")
+    opts = {"header": "true", "sep": ";", "quoteAll": "true", "nullValue": "\\N"}
+    subset.write.mode("overwrite").options(**opts).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.options(**opts)
+        .schema(schema)
+        .csv(path)
+    )

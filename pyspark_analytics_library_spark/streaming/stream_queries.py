@@ -350,3 +350,49 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
         .orderBy("user_id")
     )
+
+
+@query("stream_foreach_batch", tags=("rows-only", "streaming"))
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch is aggregated and appended
+    to a parquet target by the BATCH writer — the standard escape hatch
+    for sinks Structured Streaming lacks natively (JDBC upserts,
+    MERGE INTO, multi-table fan-out).
+
+    The batch handle inside foreachBatch is a regular DataFrame, so
+    the write is executor-side and transactional per micro-batch
+    (batch_id enables exactly-once dedup on replay: a production
+    handler writes batch_id into the target and skips already-applied
+    ids after recovery).  Here the handler appends per-type counts;
+    the returned frame re-aggregates across batches, so the result is
+    batch-count-invariant.
+    """
+    out_dir = os.path.join(_SCRATCH, f"feb_{uuid.uuid4().hex[:8]}")
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_events(spark, sf_dir, maxFilesPerTrigger="1")
+        .writeStream.foreachBatch(handle_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("tv"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -212,3 +212,52 @@ def test_lateral_join_decorrelates(spark):
     text = plan_text(df)
     assert "CartesianProduct" not in text, text
     assert "Window" in text, text
+
+
+def _shuffle_count(df) -> int:
+    text = df._jdf.queryExecution().executedPlan().toString()
+    return text.count("Exchange") - text.count("BroadcastExchange")
+
+
+def test_ohlc_single_exchange(spark):
+    """Window partition key is the projected bar attribute, so the
+    follow-up groupBy reuses the window's hashpartitioning — one
+    shuffle total (a second appears if the window partitions by the
+    date_trunc expression inline)."""
+    df = REGISTRY["ts_ohlc"].fn(spark, TEST_SF_DIR)
+    assert _shuffle_count(df) == 1
+
+
+def test_centroid_is_one_aggregate_pass(spark):
+    """Per-dimension avg aggregates: one hash-agg shuffle plus the
+    output sort, never the 3-exchange posexplode/reassembly shape."""
+    df = REGISTRY["sim_centroid"].fn(spark, TEST_SF_DIR)
+    assert _shuffle_count(df) <= 2
+
+
+def test_degree_stats_has_no_self_join(spark):
+    """Edge generation is collect_set + row-local double explode: no
+    join operator in the plan, and the full chain (bucket agg, pair
+    distinct, degree, histogram, sort) stays at 5 exchanges."""
+    df = REGISTRY["graph_degree_stats"].fn(spark, TEST_SF_DIR)
+    text = plan_text(df)
+    assert "Join" not in text
+    assert _shuffle_count(df) <= 5
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark):
+    """Every PageRank step joins edges to the vertex-sized rank vector
+    via broadcast: 2 joins per iteration × 3 iterations = at least 6
+    BroadcastHashJoins.  (The one legitimate sort-merge join is the
+    big-big lineitem⋈orders edge BUILD, outside the loop.)"""
+    df = REGISTRY["graph_pagerank_nations"].fn(spark, TEST_SF_DIR)
+    assert plan_text(df).count("BroadcastHashJoin") >= 6
+
+
+def test_unpivot_is_expand_not_join(spark):
+    """UNPIVOT must compile to generated row expansion (Expand), not a
+    union of four scans."""
+    df = REGISTRY["sql_unpivot_melt"].fn(spark, TEST_SF_DIR)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in text
+    assert text.count("FileScan parquet") == 1

@@ -173,3 +173,55 @@ def test_pack_sequences_invariants(spark):
         seq_ids = sorted(r["seq_id"] for r in rows)
         assert seq_ids == list(range(len(seq_ids))), f"{lang}: gaps {seq_ids}"
         assert sum(r["total_tokens"] for r in rows) == truth[lang]
+
+
+def test_ewma_matches_pandas(spark):
+    """The two-running-sums EWMA must equal pandas' ewm(alpha=0.3,
+    adjust=True).mean() — an independent implementation of the same
+    definition (the oracle check only proves DuckDB agrees with the
+    same algebra; pandas proves the algebra itself)."""
+    import pandas as pd
+
+    from pyspark_analytics_library_spark.operators.timeseries import q_ts_ewma
+
+    got = (
+        q_ts_ewma(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    for etype, grp in got.groupby("event_type"):
+        expected = grp["tv"].ewm(alpha=0.3, adjust=True).mean()
+        assert (grp["ewma"] - expected.round(4)).abs().max() <= 1e-4, etype
+
+
+def test_pagerank_invariants(spark):
+    """Damped PageRank over a stochastic edge normalization: ranks are
+    positive and sum to ~1 per iteration-invariant mass conservation
+    (dangling mass leaks only via nodes with no out-edges; the nation
+    trade graph has none)."""
+    from pyspark_analytics_library_spark.operators.graph import (
+        q_graph_pagerank_nations,
+    )
+
+    rows = q_graph_pagerank_nations(spark, TEST_SF_DIR).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert all(r["pagerank"] > 0 for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+
+
+def test_centroid_matches_numpy(spark):
+    """sim_centroid's widened-aggregate formulation vs a numpy mean."""
+    import numpy as np
+
+    from pyspark_analytics_library_spark.operators.similarity import q_sim_centroid
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    got = {r["label"]: r["centroid"] for r in q_sim_centroid(spark, TEST_SF_DIR).collect()}
+    emb = load_tables(spark, TEST_SF_DIR)["embeddings"].collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    for label, vecs in by_label.items():
+        expected = np.mean(np.array(vecs, dtype=np.float64), axis=0)
+        assert np.abs(np.array(got[label]) - expected.round(6)).max() <= 1e-6

@@ -497,3 +497,35 @@ def q_fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .orderBy("name_a", "name_b")
     )
+
+
+@query(
+    "fn_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[aeiou][a-z]{4,}'))
+               AS BIGINT) AS n_matches,
+           list_slice(regexp_extract_all(lower(text), '[aeiou][a-z]{4,}'), 1, 3)
+               AS first_matches
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every non-overlapping match as an array —
+    the multi-match sibling of regexp_extract (text_regex_extract
+    mines one match per row; this keeps them all).
+
+    The pattern sticks to character classes + bounded quantifiers so
+    Java regex (Spark) and RE2 (DuckDB) produce identical match sets
+    (leftmost-earliest non-overlapping semantics agree for patterns
+    without backtracking-dependent constructs).  Pure scan-side
+    expression — zero shuffles except the output sort.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    matches = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou][a-z]{4,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_matches"),
+        F.slice(matches, 1, 3).alias("first_matches"),
+    ).orderBy("doc_id")

@@ -14,7 +14,7 @@ bridge then renders as float64).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.registry import query
@@ -428,26 +428,49 @@ def q_agg_freqitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_count_if_mode",
     oracle="""
+    WITH e AS (
+        SELECT event_type, event_id, value,
+               MAX(value) OVER (PARTITION BY event_type) AS mxv,
+               MIN(value) OVER (PARTITION BY event_type) AS mnv
+        FROM events
+    )
     SELECT event_type,
            CAST(count_if(value > 100) AS BIGINT) AS n_big,
-           max_by(event_id, value) AS max_value_event,
-           min_by(event_id, value) AS min_value_event,
+           MAX(CASE WHEN value = mxv THEN event_id END) AS max_value_event,
+           MAX(CASE WHEN value = mnv THEN event_id END) AS min_value_event,
            ROUND(SUM(value), 4) AS total_value
-    FROM events
+    FROM e
     GROUP BY event_type
     """,
 )
 def q_agg_count_if_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregates: count_if + max_by/min_by (deterministic
-    here — `value` is continuous so ties are measure-zero)."""
+    """Conditional aggregates: count_if + argmax/argmin of event_id by
+    value.  A bare max_by(event_id, value) is NOT deterministic when
+    two events tie on value — the sf0.1 sweep caught exactly that
+    (each engine returned a different tied event) — so the extremum
+    event is taken as MAX(event_id) among the rows equal to the
+    group's max/min value: window-max then conditional aggregate, a
+    total order on both engines.  The window partitions by the same
+    key the groupBy uses, so both run on ONE exchange."""
     t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("event_type")
+    e = t["events"].select(
+        "event_type",
+        "event_id",
+        "value",
+        F.max("value").over(w).alias("mxv"),
+        F.min("value").over(w).alias("mnv"),
+    )
     return (
-        t["events"]
-        .groupBy("event_type")
+        e.groupBy("event_type")
         .agg(
             F.count_if(F.col("value") > 100).alias("n_big"),
-            F.max_by("event_id", "value").alias("max_value_event"),
-            F.min_by("event_id", "value").alias("min_value_event"),
+            F.max(
+                F.when(F.col("value") == F.col("mxv"), F.col("event_id"))
+            ).alias("max_value_event"),
+            F.max(
+                F.when(F.col("value") == F.col("mnv"), F.col("event_id"))
+            ).alias("min_value_event"),
             _r(F.sum("value")).alias("total_value"),
         )
     )
@@ -692,7 +715,7 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            ROUND(product(1.0 - l_discount), 6) AS compound_keep,
-           ROUND(EXP(SUM(LN(1.0 + l_tax))), 6) AS compound_tax
+           ROUND(SUM(LN(1.0 + l_tax)), 4) AS compound_tax_ln
     FROM lineitem
     WHERE l_linenumber = 1 AND l_quantity >= 49
     GROUP BY l_returnflag
@@ -701,11 +724,14 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiplicative aggregates: native product() and its log-space
-    twin EXP(SUM(LN x)) — compounding factors per group (the
+    twin SUM(LN x) — compounding factors per group (the
     compound-growth / survival-probability pattern).  Log-space is the
-    100 TB-safe form (sums partial-aggregate and never under/overflow);
-    the filter keeps the group small enough that double product and
-    exp-sum-log agree to the rounded precision on both engines."""
+    100 TB-safe form (sums partial-aggregate and never under/overflow)
+    and is REPORTED in log-space: exponentiating first made the value's
+    magnitude grow with the row count, so a fixed decimal rounding
+    could no longer absorb summation-order ulps (the sf0.1 sweep caught
+    a 2-ulp mismatch at 9.1e17).  The bounded product() column rounds
+    fine at any scale (≤1 by construction)."""
     t = load_tables(spark, sf_dir)
     keep = 1.0 - F.col("l_discount")
     tax = 1.0 + F.col("l_tax")
@@ -715,7 +741,7 @@ def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.round(F.product(keep), 6).alias("compound_keep"),
-            F.round(F.exp(F.sum(F.log(tax))), 6).alias("compound_tax"),
+            F.round(F.sum(F.log(tax)), 4).alias("compound_tax_ln"),
         )
         .orderBy("l_returnflag")
     )

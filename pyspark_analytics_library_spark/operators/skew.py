@@ -110,7 +110,7 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           ROUND(SUM(l_extendedprice) / 1000000.0, 4) AS total_price_m
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -134,7 +134,12 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        # Reported in millions: a raw ~1e9 sum rounded at 4 dp sits inside
+        # cross-engine summation-order noise (~1e-4) — the sf0.1 sweep
+        # caught the resulting off-by-one-ulp rounding flips.  Rescaling
+        # puts 6 orders of magnitude between the noise and the rounding
+        # threshold.
+        F.round(F.sum("l_extendedprice") / 1e6, 4).alias("total_price_m"),
     )
 
 
@@ -223,7 +228,7 @@ def bucketed_join_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice), 4) AS total_price
+           ROUND(SUM(l_extendedprice) / 1000000.0, 4) AS total_price_m
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -237,6 +242,11 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+            # Reported in millions: a raw ~1e9 sum rounded at 4 dp sits inside
+        # cross-engine summation-order noise (~1e-4) — the sf0.1 sweep
+        # caught the resulting off-by-one-ulp rounding flips.  Rescaling
+        # puts 6 orders of magnitude between the noise and the rounding
+        # threshold.
+        F.round(F.sum("l_extendedprice") / 1e6, 4).alias("total_price_m"),
         )
     )

@@ -76,7 +76,8 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey, p_type, p_size,
            RANK()         OVER (PARTITION BY p_type ORDER BY p_size) AS rnk,
            DENSE_RANK()   OVER (PARTITION BY p_type ORDER BY p_size) AS drnk,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_size), 6) AS prnk,
+           FLOOR(PERCENT_RANK() OVER (PARTITION BY p_type ORDER BY p_size)
+               * 1000000 + 0.5) / 1000000.0 AS prnk,
            NTILE(4)       OVER (PARTITION BY p_type ORDER BY p_size, p_partkey) AS nt
     FROM part
     """,
@@ -95,7 +96,7 @@ def q_win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
         F.rank().over(w_ties).cast("long").alias("rnk"),
         F.dense_rank().over(w_ties).cast("long").alias("drnk"),
-        F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
+        (F.floor(F.percent_rank().over(w_ties) * 1e6 + F.lit(0.5)) / 1e6).alias("prnk"),
         F.ntile(4).over(w_total).cast("long").alias("nt"),
     )
 
@@ -141,7 +142,7 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg_7,
            ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+               PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS sum_5min
     FROM events
     """,
@@ -200,9 +201,9 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_cume_dist",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           ROUND(CUME_DIST() OVER (
+           FLOOR(CUME_DIST() OVER (
                PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
-           ), 6) AS cd
+           ) * 1000000 + 0.5) / 1000000.0 AS cd
     FROM customer
     """,
 )
@@ -214,7 +215,7 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t["customer"].select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("cd"),
     )
 
 

@@ -326,7 +326,7 @@ def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH updates AS (
         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
-               ROUND(o_totalprice * 1.1, 2) AS o_totalprice
+               FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
         FROM orders WHERE o_orderkey % 97 = 0
         UNION ALL
         SELECT o_orderkey + 100000000, o_custkey, 'N', 42.0
@@ -339,7 +339,7 @@ def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
     )
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           ROUND(SUM(o_totalprice) / 1000.0, 4) AS total_price_k
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -369,7 +369,12 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             F.lit("U").alias("o_orderstatus"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            # floor-based rounding: price*1.1 lands on exact .xx5 halves
+            # (2-dp inputs), where ROUND() halfway behavior differs across
+            # engines; floor(x*100+0.5) is identical IEEE arithmetic on both.
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
+                "o_totalprice"
+            ),
         )
         .unionByName(
             base.filter(F.col("o_orderkey") % 101 == 0).select(
@@ -401,7 +406,7 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum("o_totalprice") / 1e3, 4).alias("total_price_k"),
         )
         .orderBy("o_orderstatus")
     )

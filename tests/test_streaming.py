@@ -121,3 +121,22 @@ def test_stream_stream_join_matches_batch(spark):
         .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
     )
     assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_foreach_batch_matches_batch_totals(spark):
+    """foreachBatch appends per-micro-batch aggregates; re-aggregating
+    them must reproduce the plain batch totals regardless of how many
+    micro-batches the source emitted."""
+    stream = REGISTRY["stream_foreach_batch"].fn(spark, TEST_SF_DIR)
+    batch = (
+        load_tables(spark, TEST_SF_DIR)["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+    got = [(r["event_type"], r["n_events"], round(r["total_value"], 3)) for r in stream.collect()]
+    want = [(r["event_type"], r["n_events"], round(r["total_value"], 3)) for r in batch.collect()]
+    assert got == want

@@ -49,19 +49,22 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #: family instead of exhausting one module at a time.  Modules whose
 #: queries had no driver CORRECTNESS row in rounds 1-2 (the driver's
 #: sample covered relational/composite/skew/dedup/text/pipeline twice)
-#: lead the cycle so they are hard-verified first.
+#: lead the cycle so they are hard-verified first.  Round 4:
+#: timeseries/windows/stream_queries front-loaded so the driver's
+#: 50-query prefix sample re-verifies the queries broken by the round-3
+#: TIMESTAMP_NTZ fixture regeneration (VERDICT r3 task #5).
 _MODULE_ORDER = (
+    "timeseries",
+    "windows",
+    "stream_queries",
     "sql_surface",
     "graph",
     "aggregates",
-    "windows",
     "setops",
-    "timeseries",
     "similarity",
     "udf",
     "scalar",
     "scan_queries",
-    "stream_queries",
     "multimodal",
     "pipeline",
     "relational",

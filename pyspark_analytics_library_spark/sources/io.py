@@ -153,12 +153,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical column types."""
     _configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs with *integer* division (`div` keeps LongType; a
-        # double roundtrip would lose precision above 2^53 ns).  DuckDB
-        # reads the same file truncated to µs — identical values, so
-        # oracle timestamp comparisons hold exactly (SURVEY.md §1.3).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = _normalize_ts(df)
+    return df
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize the events timestamp to TIMESTAMP (LTZ, session-UTC)
+    regardless of the fixture's physical encoding.  The generator has
+    produced two shapes across rounds, so BOTH branches stay:
+
+    - Parquet TIMESTAMP(NANOS) read as int64 under ``nanosAsLong``:
+      ns → µs with *integer* division (`div` keeps LongType; a double
+      roundtrip would lose precision above 2^53 ns).  DuckDB reads the
+      same file truncated to µs — identical values (SURVEY.md §1.3).
+    - Parquet timestamp[us] without timezone → Spark TIMESTAMP_NTZ:
+      cast to TIMESTAMP.  With the session tz pinned UTC
+      (`_configure`) the wall-clock fields — and therefore the µs
+      epoch values — are preserved bit-for-bit, matching DuckDB's
+      naive-UTC read.  NTZ itself is unusable downstream: it rejects
+      `CAST(ts AS BIGINT)` and `withWatermark`.
+    - Already TIMESTAMP (e.g. timestamp[ms/us] with tz): untouched.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.registry import query
-from pyspark_analytics_library_spark.sources.io import load_tables
+from pyspark_analytics_library_spark.sources.io import _normalize_ts, load_tables
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -61,9 +61,10 @@ def stream_events(spark: SparkSession, sf_dir: str, **reader_opts) -> DataFrame:
     for k, v in reader_opts.items():
         reader = reader.option(k, v)
     df = reader.parquet(_staged_events_dir(sf_dir))
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # Same two-branch canonicalization as the batch loader (io._normalize_ts):
+    # int64-nanos fixtures AND timestamp[us]-NTZ fixtures both become
+    # TIMESTAMP (LTZ, session-UTC) — NTZ would reject withWatermark.
+    return _normalize_ts(df)
 
 
 def run_to_memory(

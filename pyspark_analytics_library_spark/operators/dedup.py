@@ -528,6 +528,39 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     return lab
 
 
+def candidate_edges(d: DataFrame) -> DataFrame:
+    """Near-dup candidate edges: same lang, |Δn_chars| ≤ 2, src < dst.
+
+    Bucketed by floor(n_chars/3) with a ±1 probe on one side: any pair
+    with |Δn_chars| ≤ 2 lands at most one bucket apart (width 3), so
+    the blocking is SOUND — it prunes only pairs the residual would
+    reject anyway, and the unblocked oracle closure still matches.
+    Without this the equi-key is `lang` alone (5 distinct values):
+    five giant skewed join buckets at corpus scale.  Same discipline
+    as dedup_ngram_jaccard's log₅ shingle buckets above.
+    """
+    bkt = F.floor(F.col("n_chars") / 3)
+    a = d.select(
+        F.col("doc_id").alias("src"),
+        F.col("lang").alias("l_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst"),
+        F.col("lang").alias("l_b"),
+        F.col("n_chars").alias("nc_b"),
+        bkt.alias("bkt_b"),
+    )
+    return a.join(
+        b,
+        (F.col("l_a") == F.col("l_b"))
+        & (F.col("bkt_a") == F.col("bkt_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 2)
+        & (F.col("src") < F.col("dst")),
+    ).select("src", "dst")
+
+
 @query(
     "dedup_connected_components",
     oracle="""
@@ -558,18 +591,7 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     safe because a component's min label precedes every member)."""
     t = load_tables(spark, sf_dir)
     d = t["documents"].select("doc_id", "lang", "n_chars")
-    a = d.select(
-        F.col("doc_id").alias("src"), F.col("lang").alias("l_a"), F.col("n_chars").alias("nc_a")
-    )
-    b = d.select(
-        F.col("doc_id").alias("dst"), F.col("lang").alias("l_b"), F.col("n_chars").alias("nc_b")
-    )
-    edges = a.join(
-        b,
-        (F.col("l_a") == F.col("l_b"))
-        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 2)
-        & (F.col("src") < F.col("dst")),
-    ).select("src", "dst")
+    edges = candidate_edges(d)
     verts = d.select(F.col("doc_id").alias("v"))
     lab = connected_components(edges, verts)
     return lab.select(

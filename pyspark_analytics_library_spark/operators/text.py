@@ -480,7 +480,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_normalize",
-    oracle="""
+    oracle=r"""
     WITH n AS (
         SELECT doc_id,
                trim(regexp_replace(

@@ -75,6 +75,26 @@ _MODULE_ORDER = (
 )
 
 
+#: Queries that sort FIRST within their module's round-robin queue —
+#: the 12 broken by the round-3 TIMESTAMP_NTZ fixture regeneration, so
+#: the driver's 50-query prefix sample re-verifies all of them (the
+#: module cycle alone only reaches ~3 queries per module in 50).
+_FRONTLOAD = (
+    "ts_sessionize",
+    "ts_session_stats",
+    "win_lag_lead",
+    "win_running",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_late_data",
+    "stream_dedup",
+    "dedup_watermarked",
+    "stream_static_join",
+    "stream_stream_join",
+)
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """REGISTRY re-ordered round-robin by module (see _MODULE_ORDER).
 
@@ -88,6 +108,10 @@ def ordered_registry() -> dict[str, QuerySpec]:
     for spec in REGISTRY.values():
         mod = spec.fn.__module__.rsplit(".", 1)[-1]
         by_module.setdefault(mod, []).append(spec)
+    for specs in by_module.values():
+        specs.sort(
+            key=lambda s: _FRONTLOAD.index(s.name) if s.name in _FRONTLOAD else len(_FRONTLOAD)
+        )
     module_cycle = [m for m in _MODULE_ORDER if m in by_module]
     module_cycle += sorted(m for m in by_module if m not in _MODULE_ORDER)
     out: dict[str, QuerySpec] = {}

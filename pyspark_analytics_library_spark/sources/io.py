@@ -153,33 +153,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with canonical column types."""
     _configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _normalize_ts(df)
+    for col, target in _TS_CANON.get(name, {}).items():
+        df = _normalize_ts(df, col, target)
     return df
 
 
-def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Canonicalize the events timestamp to TIMESTAMP (LTZ, session-UTC)
-    regardless of the fixture's physical encoding.  The generator has
-    produced two shapes across rounds, so BOTH branches stay:
+#: Timestamp-bearing fixture columns and their canonical Spark dtype.
+#: The generator has re-encoded these across rounds (int64 nanos in
+#: rounds 1-2, timestamp[us] without timezone in round 3), and each
+#: switch broke queries three hours after the last commit — so the
+#: loader owns a schema contract instead of trusting the files.
+#: ``events.ts`` must be TIMESTAMP (LTZ): NTZ rejects both
+#: `CAST(ts AS BIGINT)` and `withWatermark`.  The date columns stay
+#: TIMESTAMP_NTZ — that is today's validated-green dtype, and all
+#: downstream use is date comparison/truncation, which is
+#: timezone-independent under the pinned-UTC session.
+_TS_CANON: dict[str, dict[str, str]] = {
+    "events": {"ts": "timestamp"},
+    "lineitem": {"l_shipdate": "timestamp_ntz"},
+    "orders": {"o_orderdate": "timestamp_ntz"},
+}
+
+
+def _normalize_ts(df: DataFrame, col: str = "ts", target: str = "timestamp") -> DataFrame:
+    """Canonicalize one timestamp column to ``target`` regardless of the
+    fixture's physical encoding.  All branches stay live — the generator
+    has already produced two of these shapes across rounds:
 
     - Parquet TIMESTAMP(NANOS) read as int64 under ``nanosAsLong``:
       ns → µs with *integer* division (`div` keeps LongType; a double
       roundtrip would lose precision above 2^53 ns).  DuckDB reads the
       same file truncated to µs — identical values (SURVEY.md §1.3).
-    - Parquet timestamp[us] without timezone → Spark TIMESTAMP_NTZ:
-      cast to TIMESTAMP.  With the session tz pinned UTC
-      (`_configure`) the wall-clock fields — and therefore the µs
-      epoch values — are preserved bit-for-bit, matching DuckDB's
-      naive-UTC read.  NTZ itself is unusable downstream: it rejects
-      `CAST(ts AS BIGINT)` and `withWatermark`.
-    - Already TIMESTAMP (e.g. timestamp[ms/us] with tz): untouched.
+    - TIMESTAMP_NTZ ↔ TIMESTAMP off-target: cast.  With the session tz
+      pinned UTC (`_configure`) the wall-clock fields — and therefore
+      the µs epoch values — are preserved bit-for-bit in both
+      directions, matching DuckDB's naive read of the same file.
+    - Already on target: untouched (no Project node inserted, so scan
+      pushdown on other columns is unaffected).
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-    elif dtype == "timestamp_ntz":
-        df = df.withColumn(col, F.col(col).cast("timestamp"))
+        dtype = "timestamp"
+    if dtype in ("timestamp", "timestamp_ntz") and dtype != target:
+        df = df.withColumn(col, F.col(col).cast(target))
     return df
 
 

@@ -155,3 +155,39 @@ def test_session_window_runs_on_all_encodings(spark, sf_dir):
     for r in out:
         per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
     assert per_user == {1: 2, 2: 2}
+
+
+@pytest.mark.parametrize("encoding", ENCODINGS)
+def test_lineitem_shipdate_drift_normalizes_to_ntz(spark, tmp_path, encoding):
+    """l_shipdate / o_orderdate are timestamp[us]-NTZ in today's
+    fixtures; if a regeneration re-encodes them (int64 nanos, or
+    tz-annotated), the loader must still land on TIMESTAMP_NTZ with
+    identical µs values — otherwise every date comparison breaks the
+    way events.ts broke in round 3."""
+    ts_us = [_BASE_US, _BASE_US + 86_400_000_000]  # two days
+    if encoding == "int64_nanos":
+        arr = pa.array([t * 1000 for t in ts_us], type=pa.timestamp("ns"))
+    elif encoding == "us_ntz":
+        arr = pa.array(ts_us, type=pa.timestamp("us"))
+    elif encoding == "us_utc":
+        arr = pa.array(ts_us, type=pa.timestamp("us", tz="UTC"))
+    else:  # ms_utc
+        arr = pa.array([t // 1000 for t in ts_us], type=pa.timestamp("ms", tz="UTC"))
+    table = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2], type=pa.int64()),
+            "l_shipdate": arr,
+        }
+    )
+    pq.write_table(table, str(tmp_path / "lineitem.parquet"))
+    df = load_table(spark, str(tmp_path), "lineitem")
+    assert dict(df.dtypes)["l_shipdate"] == "timestamp_ntz", dict(df.dtypes)
+    got = sorted(
+        r["us"]
+        for r in df.select(
+            F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("us")
+        ).collect()
+    )
+    assert got == ts_us
+    # A date comparison — what every TPC-H composite does — must work.
+    assert df.filter(F.col("l_shipdate") < "2022-03-02").count() == 1

@@ -261,3 +261,19 @@ def test_unpivot_is_expand_not_join(spark):
     text = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in text
     assert text.count("FileScan parquet") == 1
+
+
+def test_cc_edge_join_uses_nchars_bucket_key(spark):
+    """The connected-components candidate edge build must equi-join on
+    (lang, floor(n_chars/3) bucket), not lang alone — 5 distinct langs
+    would mean 5 giant skewed join buckets at corpus scale.  The
+    |Δn_chars| ≤ 2 predicate stays as a residual."""
+    from pyspark_analytics_library_spark.operators.dedup import candidate_edges
+
+    t = load_tables(spark, TEST_SF_DIR)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    edges = candidate_edges(d)
+    text = edges._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in text.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
+    assert join_lines, text
+    assert any("bkt_a" in l and "bkt_b" in l for l in join_lines), join_lines

@@ -504,18 +504,30 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     # intermediates with no size stats and lose the broadcast/shape
     # choices the per-round parquet stats buy, costing more than the
     # saved write.  Measured at sf0.1: 8-10 s vs 5-6 s warm.)
+    #
+    # The convergence count piggybacks on the checkpoint write via an
+    # Observation — the metric is collected DURING the write job, so
+    # each round launches exactly ONE job instead of write + count.
+    # At fixture scale the count job was pure job-launch latency
+    # (~0.1 s × rounds); on a cluster it saves a full re-read of the
+    # label table per round.
+    from pyspark.sql import Observation
+
     changed = 0
     for round_no in range(1, max_iters + 1):
         start = lab.select("v", "label", F.col("label").alias("base_label"))
         once = step(start)
-        # Checkpoint BEFORE the convergence count so the round's plan
-        # executes once (the count reads the materialized parquet).
-        chk = _cc_checkpoint(
-            once.select("v", F.col("base_label").alias("old_label"), "label"),
-            scratch_root,
-            round_no,
+        obs = Observation()
+        observed = once.select(
+            "v", F.col("base_label").alias("old_label"), "label"
+        ).observe(
+            obs,
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
+                "changed"
+            ),
         )
-        changed = chk.filter(F.col("label") != F.col("old_label")).count()
+        chk = _cc_checkpoint(observed, scratch_root, round_no)
+        changed = obs.get["changed"] or 0
         lab = chk.select("v", "label")
         if changed == 0:
             break

@@ -852,3 +852,58 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(var, 1.5), 4).alias("skewness"),
         F.round(m4 / F.pow(var, 2) - 3.0, 4).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS n
+        FROM documents GROUP BY lang, source
+    ), tot AS (
+        SELECT lang, SUM(n) AS total FROM c GROUP BY lang
+    )
+    SELECT c.lang,
+           CAST(tot.total AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           ROUND(SUM(-(CAST(c.n AS DOUBLE) / tot.total)
+                     * LN(CAST(c.n AS DOUBLE) / tot.total)), 4)
+               AS source_entropy
+    FROM c JOIN tot ON c.lang = tot.lang
+    GROUP BY c.lang, tot.total
+    ORDER BY c.lang
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source distribution within each language
+    — the corpus-diversity diagnostic a mixing pipeline watches (a lang
+    whose tokens come from one dominant source has entropy ≈ 0 and
+    likely needs rebalancing; pipeline_domain_mix computes the fix,
+    this computes the alarm).
+
+    Shape: one (lang, source) count aggregate — map-side combined, the
+    only shuffle that touches full data — then per-lang totals joined
+    back broadcast (the counts table is |lang|×|source| rows no matter
+    the corpus size) and a final tiny per-lang rollup.  Σ −p·ln p is
+    evaluated on identical c/total doubles on both engines; round(4)
+    absorbs summation-order ulps.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("lang").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.sum(-p * F.log(p)), 4).alias("source_entropy"),
+        )
+        .select(
+            "lang",
+            F.col("total").alias("n_docs"),
+            "n_sources",
+            "source_entropy",
+        )
+        .orderBy("lang")
+    )

@@ -569,3 +569,68 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ), per_word AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    ), agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(MAX(c) AS BIGINT) AS top_word_count
+        FROM per_word GROUP BY doc_id
+    )
+    SELECT doc_id, n_words, n_distinct_words,
+           ROUND(1.0 - CAST(n_distinct_words AS DOUBLE) / n_words, 4)
+               AS dup_word_frac,
+           ROUND(CAST(top_word_count AS DOUBLE) / n_words, 4)
+               AS top_word_frac
+    FROM agg ORDER BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style quality
+    rules that catch boilerplate and degenerate generations:
+    duplicate-word fraction (1 − distinct/total) and most-frequent-word
+    fraction.  High values on either flag templated or looping text
+    that per-doc length/punctuation scores (text_quality_score) miss.
+
+    Shape: explode → (doc_id, word) count → (doc_id) rollup.  Both
+    aggregations get map-side partial combine; the second runs on
+    per-word counts (≤ distinct words per doc), not raw tokens.  At
+    corpus scale this is the same 2-shuffle profile as text_wordcount
+    and never materializes a per-doc vocabulary wider than the doc
+    itself.  Empty docs: split('') yields one empty-string token on
+    both engines, so n_words ≥ 1 and no division guard is needed.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word")
+    )
+    per_word = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            F.round(
+                1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words"), 4
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("top_word_count").cast("double") / F.col("n_words"), 4
+            ).alias("top_word_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -254,3 +254,45 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "third_price"
         ),
     )
+
+
+@query(
+    "win_distinct_range",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(DISTINCT event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 600 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS distinct_types_10min
+    FROM events
+    """,
+)
+def q_win_distinct_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct event types per user within a trailing 10-minute
+    RANGE frame — behavioral-diversity windowing (sessions that touch
+    many event types in a short span), a frame kind the plain
+    running/moving aggregates in win_running don't cover: DISTINCT
+    inside a window.
+
+    Spark has no COUNT(DISTINCT) window function; the same semantics
+    compile to size(collect_set() OVER range-frame) — executor-side
+    per-frame sets bounded by |event_type| (4 here; small enums in
+    general), evaluated inside the one (user_id)-shuffle the window
+    already pays.  Epoch discipline per SURVEY §5.3 rule 9: Spark's
+    cast(ts AS long) floors, so the oracle orders by FLOOR(epoch(ts)).
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-600, Window.currentRow)
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("distinct_types_10min"),
+    )

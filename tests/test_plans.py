@@ -277,3 +277,11 @@ def test_cc_edge_join_uses_nchars_bucket_key(spark):
     join_lines = [l for l in text.splitlines() if "HashJoin" in l or "SortMergeJoin" in l]
     assert join_lines, text
     assert any("bkt_a" in l and "bkt_b" in l for l in join_lines), join_lines
+
+
+def test_distinct_range_window_single_shuffle(spark):
+    """The DISTINCT-in-window query must stay one (user_id) exchange —
+    the collect_set frame evaluates inside the window's own shuffle,
+    never as a separate distinct aggregation."""
+    df = REGISTRY["win_distinct_range"].fn(spark, TEST_SF_DIR)
+    assert _shuffle_count(df) == 1

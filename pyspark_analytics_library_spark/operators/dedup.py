@@ -240,53 +240,62 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-shingle Jaccard within language (small-n path;
-    the LSH variant above is the scale path).
+    """Exact pairwise 3-shingle Jaccard within language, as a
+    distributed set-similarity join: explode each document's distinct
+    shingles, equi-join on (lang, shingle), and COUNT the matches per
+    (id_a, id_b) — that count IS |A∩B| exactly, so no pair ever
+    carries (or intersects) the shingle arrays themselves.  Sizes join
+    back afterward for the inclusion-exclusion denominator.
 
-    Blocked self-join: J(a,b) ≥ 0.2 forces the shingle-count ratio
-    below 5 (inter ≤ min; 0.2 ≤ min/(na+nb−min) ⟹ max ≤ 5·min), so
-    docs are bucketed by floor(log₅ n_shingles) and the probe side
-    explodes to {b−1, b, b+1} — every qualifying pair still meets
-    (ratio-5 pairs differ by ≤1 bucket), but the join is now an
-    equi-join on (lang, bucket) instead of lang alone, so the small-n
-    path degrades gracefully rather than quadratically on a corpus
-    with many docs per language.  The blocking is SOUND (prunes only
-    pairs that cannot reach 0.2), so the unblocked oracle SQL matches
-    row-for-row."""
+    Why this shape: any pair with J ≥ 0.2 shares ≥ 1 shingle, so the
+    shingle equi-join is SOUND blocking with the selectivity of the
+    shingle vocabulary — candidate volume is Σ_s C(df_s, 2), a function
+    of how often a shingle repeats across docs, not |docs|² per
+    language.  (The previous log₅ shingle-count bucketing collapsed to
+    ~2 distinct buckets on real length distributions, making it
+    lang-only blocking: 107 s at sf0.1; this shape runs the same query
+    in a few seconds and shuffles id pairs, not arrays.)  At web scale
+    the residual risk is ubiquitous hot shingles ("of the and")
+    fattening Σ C(df_s, 2); the sound mitigation is classic prefix
+    filtering — order shingles by ascending global df and join only on
+    each doc's first n − ⌈τ·n⌉ + 1 of them — which drops exactly the
+    hottest shingles from the join without losing any τ-qualifying
+    pair.  Unnecessary at fixture scale, so results stay byte-exact vs
+    the unblocked oracle.
+
+    The threshold filters the UNROUNDED ratio (identical IEEE division
+    on both engines); only the output column is rounded."""
     t = load_tables(spark, sf_dir)
     sh = t["documents"].select(
         "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
     )
-    bkt = F.floor(F.log(5.0, F.size("sh").cast("double")))
-    a = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("lang"),
-        F.col("sh").alias("sh_a"),
-        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
+    posts = sh.select(
+        "doc_id", "lang", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
-    b = sh.select(
+    a = posts.select(
+        F.col("doc_id").alias("id_a"), "lang", F.col("n").alias("na"), "s"
+    )
+    b = posts.select(
         F.col("doc_id").alias("id_b"),
         F.col("lang").alias("lang_b"),
-        F.col("sh").alias("sh_b"),
-        bkt.alias("bkt_b"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("s_b"),
     )
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("bkt") == F.col("bkt_b"))
-        & (F.col("id_a") < F.col("id_b")),
-    )
-    # Threshold on the UNROUNDED ratio (identical IEEE division on both
-    # engines) and round only the output column: filtering on the rounded
-    # value would admit ratios down to 0.19995, whose shingle-count ratio
-    # can exceed 5 — outside what the ±1 log₅-bucket probe guarantees.
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            "lang",
-            jaccard(F.col("sh_a"), F.col("sh_b")).alias("j_raw"),
+    inter = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
+        .groupBy("id_a", "id_b", "lang", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j_raw = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.select("id_a", "id_b", "lang", j_raw.alias("j_raw"))
         .filter(F.col("j_raw") >= 0.2)
         .select("id_a", "id_b", "lang", F.round(F.col("j_raw"), 4).alias("jaccard"))
     )

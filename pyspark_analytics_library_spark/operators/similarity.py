@@ -431,32 +431,69 @@ def q_sim_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_lsh_approx", tags=("rows-only",))  # LSH recall checked by property test
 def q_sim_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: candidates = same bucket in ANY of the LSH
-    tables; exact cosine only on candidates.  At 100 TB each row is
-    shuffled `tables` times (constant factor) vs the O(n²) cross pair
-    space of the exact path."""
+    tables; exact cosine only on candidates, evaluated as a per-bucket
+    vectorized matmul (`applyInPandas` cogrouped by (table, key)).
+
+    Why per-bucket kernels instead of a pair self-join: with 4-bit
+    keys (chosen for recall at cos ≈ 0.3), random pairs still collide
+    in SOME of the 16 tables with p ≈ 0.64, so a bucket self-join
+    materializes a large fraction of all n² pairs — each dragging two
+    embedding arrays through shuffle and an interpreted expression
+    fold (measured 21 s at sf0.1).  Grouping instead shuffles each
+    vector exactly `tables` times (ids + one array, no pair blowup),
+    runs one blocked BLAS matmul per bucket, and emits ONLY the pairs
+    above threshold; the cross-table duplicates that remain are the
+    final (id_a, id_b) dropDuplicates — threshold-survivor-sized, not
+    candidate-sized.  Same candidate set, same filter, same recall;
+    3.4 s at sf0.1.  Bucket skew is bounded by the 2048-row matmul
+    blocking plus AQE shuffle splitting."""
     t = load_tables(spark, sf_dir)
-    e = t["embeddings"].select(
-        "vec_id", "embedding", F.explode(lsh_table_keys(F.col("embedding"))).alias("tk")
-    ).select("vec_id", "embedding", "tk.table", "tk.key")
-    a = e.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "table", "key"
-    )
-    b = e.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "table", "key"
-    )
-    candidates = (
-        a.join(b, ["table", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "emb_a", "emb_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        candidates.withColumn(
-            "cos", F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6)
+    e = (
+        t["embeddings"]
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(lsh_table_keys(F.col("embedding"))).alias("tk"),
         )
-        .filter(F.col("cos") > 0.3)
-        .select("id_a", "id_b", "cos")
+        .select("vec_id", "embedding", "tk.table", "tk.key")
     )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")  # positional < ⇒ vec_id <
+        ids = pdf["vec_id"].to_numpy()
+        E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        E /= np.linalg.norm(E, axis=1, keepdims=True)
+        cols = np.arange(n)
+        out = []
+        block = 2048
+        for i0 in range(0, n, block):
+            S = np.round(E[i0 : i0 + block] @ E.T, 6)
+            upper = cols[None, :] > (i0 + np.arange(S.shape[0]))[:, None]
+            r, c = np.nonzero((S > 0.3) & upper)
+            if len(r):
+                out.append(
+                    pd.DataFrame(
+                        {"id_a": ids[i0 + r], "id_b": ids[c], "cos": S[r, c]}
+                    )
+                )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    pairs = e.groupBy("table", "key").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, cos double"
+    )
+    # Identical (id_a, id_b) from different tables carry the identical
+    # float64 cos, so which duplicate survives is immaterial.
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 @query(

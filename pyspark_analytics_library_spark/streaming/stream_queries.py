@@ -36,8 +36,17 @@ def _staged_events_dir(sf_dir: str) -> str:
     d = os.path.join(_SCRATCH, f"stream_src_{sf_name}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    target = os.path.join(sf_dir, "events.parquet")
+    # lexists, not exists: a STALE symlink (its fixture dir deleted and
+    # re-created elsewhere, e.g. numbered pytest tmp dirs reusing a
+    # basename) fails exists() yet still blocks os.symlink() — re-point
+    # it instead of crashing.
+    if os.path.lexists(link) and (
+        not os.path.islink(link) or os.readlink(link) != target
+    ):
+        os.remove(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return d
 
 

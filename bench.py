@@ -39,11 +39,25 @@ HEADLINE = {
     "contamination_check": "pipeline_contamination_check",
     "pack_sequences": "pipeline_pack_sequences",
     "similarity_ivf": "sim_ivf_approx",
+    # Round-4 additions: the two heaviest set-similarity queries after
+    # their round-4 rewrites (shingle-inverted-index join, per-bucket
+    # LSH matmul) — benched so a regression back toward the quadratic
+    # shapes is caught (reference rows in BASELINE.md §"Round-4
+    # regression reference").
+    "ngram_jaccard": "dedup_ngram_jaccard",
+    "similarity_lsh": "sim_lsh_approx",
 }
 
 #: Round-3 additions — excluded from the headline `value` so it stays
 #: comparable with BASELINE.md's original 8-query suite total.
-EXTENDED = {"dedup_components", "contamination_check", "pack_sequences", "similarity_ivf"}
+EXTENDED = {
+    "dedup_components",
+    "contamination_check",
+    "pack_sequences",
+    "similarity_ivf",
+    "ngram_jaccard",
+    "similarity_lsh",
+}
 
 
 def main() -> None:

@@ -544,3 +544,173 @@ def q_ts_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "ts_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+        FROM days
+    ), streaks AS (
+        SELECT user_id, g, COUNT(*) AS n_days FROM isl GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(SUM(n_days) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(n_days) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks —
+    the classic retention analytic (DAU streak length) and the
+    canonical islands formulation: day minus its per-user row_number
+    is constant exactly along a run of consecutive days, so one window
+    plus two aggregates finds every streak without self-joins.
+
+    Scale: the distinct collapses (user, day) first (map-side partial),
+    then the window and both aggregates share the user_id shuffle key
+    — one data-proportional exchange, no join.  DuckDB twin uses
+    DATE − INTEGER arithmetic; Spark's date_sub — identical day math,
+    and the island key is only a GROUP BY key, never output.
+    """
+    t = load_tables(spark, sf_dir)
+    days = t["events"].select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("n_days").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("n_days").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ts_resample_interp",
+    oracle="""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), g AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ), ty AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT hour, event_type FROM g CROSS JOIN ty),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v
+        FROM events GROUP BY 1, 2
+    ), j AS (
+        SELECT grid.hour, grid.event_type, c.v,
+               CAST(FLOOR(epoch(grid.hour)) AS BIGINT) AS h
+        FROM grid LEFT JOIN c
+          ON grid.hour = c.hour AND grid.event_type = c.event_type
+    ), f AS (
+        SELECT hour, event_type, v, h,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wp AS ph,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+                   OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY hour
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT hour, event_type,
+           (v IS NOT NULL) AS observed,
+           FLOOR(CASE
+               WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                   CAST(pv AS DOUBLE)
+                   + CAST((nv - pv) * (h - ph) AS DOUBLE) / (nh - ph)
+               WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
+               ELSE CAST(nv AS DOUBLE)
+           END + 0.5) / 10000 AS value_interp
+    FROM f
+    """,
+)
+def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a dense hourly grid with LINEAR interpolation of the
+    per-hour total value — the companion to ts_gapfill's zero/forward
+    fill, and what a sensor/metrics pipeline actually wants between
+    sparse observations.  Edge hours with no neighbor on one side
+    extend the nearest observation.
+
+    Shape mirrors ts_gapfill: the hourly aggregate is the only
+    data-sized shuffle; the generated grid is (hours × types) rows at
+    any input scale; prev/next observation carry is a pair of
+    unbounded last/first(ignorenulls) frames sharing the event_type
+    shuffle — O(1) state per row.
+
+    Parity discipline (§5.3 rules 7+8, learned here the hard way): an
+    AVG-based metric put interpolated midpoints EXACTLY on 4-dp
+    rounding boundaries, where even same-ulp inputs round apart.  So
+    everything is integer until one final deterministic step: `value`
+    is 4-dp exact → scale to int ten-thousandths (FLOOR(v·1e4+0.5)),
+    SUM as BIGINT (exact, order-independent), interpolate as
+    int·int/int with ONE double division — bit-identical on both
+    engines — and FLOOR(x+0.5)/1e4 back to value units.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    v_scaled = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.sum(v_scaled).alias("v"))
+    hours = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).select(F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    grid = hours.crossJoin(ev.select("event_type").distinct())
+    j = grid.join(hourly, ["hour", "event_type"], "left").withColumn(
+        "h", F.col("hour").cast("long")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(h_obs, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(h_obs, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv").cast("double")
+            + ((F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph"))).cast(
+                "double"
+            )
+            / (F.col("nh") - F.col("ph")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv").cast("double"))
+        .otherwise(F.col("nv").cast("double"))
+    )
+    return f.select(
+        "hour",
+        "event_type",
+        F.col("v").isNotNull().alias("observed"),
+        (F.floor(interp + F.lit(0.5)) / 10000).alias("value_interp"),
+    )

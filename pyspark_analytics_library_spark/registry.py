@@ -76,9 +76,11 @@ _MODULE_ORDER = (
 
 
 #: Queries that sort FIRST within their module's round-robin queue —
-#: the 12 broken by the round-3 TIMESTAMP_NTZ fixture regeneration, so
-#: the driver's 50-query prefix sample re-verifies all of them (the
-#: module cycle alone only reaches ~3 queries per module in 50).
+#: the 12 broken by the round-3 TIMESTAMP_NTZ fixture regeneration
+#: (so the driver's 50-query prefix sample re-verifies all of them;
+#: the module cycle alone only reaches ~3 queries per module in 50),
+#: followed by the queries added or rewritten in round 4, which have
+#: no driver CORRECTNESS row yet.
 _FRONTLOAD = (
     "ts_sessionize",
     "ts_session_stats",
@@ -92,6 +94,15 @@ _FRONTLOAD = (
     "dedup_watermarked",
     "stream_static_join",
     "stream_stream_join",
+    # round-4 additions/rewrites
+    "ts_activity_streaks",
+    "ts_resample_interp",
+    "win_distinct_range",
+    "agg_entropy",
+    "text_repetition",
+    "graph_triangles",
+    "sim_lsh_approx",
+    "dedup_ngram_jaccard",
 )
 
 

@@ -285,3 +285,24 @@ def test_distinct_range_window_single_shuffle(spark):
     never as a separate distinct aggregation."""
     df = REGISTRY["win_distinct_range"].fn(spark, TEST_SF_DIR)
     assert _shuffle_count(df) == 1
+
+
+def test_entropy_reuses_counts_exchange(spark):
+    """agg_entropy references the (lang, source) counts subtree twice
+    (once directly, once for per-lang totals); the physical plan must
+    reuse that exchange, not aggregate the documents scan twice."""
+    df = REGISTRY["agg_entropy"].fn(spark, TEST_SF_DIR)
+    df.collect()
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in text, text
+
+
+def test_repetition_shuffles_counts_not_tokens(spark):
+    """text_repetition's per-doc rollup must consume the (doc, word)
+    counts (map-side combined), never re-shuffle raw exploded tokens:
+    both aggregates appear as partial+final HashAggregate pairs."""
+    df = REGISTRY["text_repetition"].fn(spark, TEST_SF_DIR)
+    text = df._jdf.queryExecution().executedPlan().toString()
+    assert text.count("HashAggregate") >= 4, text
+    assert "partial_sum" in text and "partial_count" in text, text
+    assert "Generate explode" in text

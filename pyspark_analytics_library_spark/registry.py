@@ -10,6 +10,9 @@ approximate/randomized algorithms, LSH, streaming, binary payloads).
 
 from __future__ import annotations
 
+import json
+import pathlib
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -43,16 +46,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-#: Module emission order for :func:`ordered_registry`.  Round-robin across
+#: Module emission order for :func:`ordered_registry`.  Within each
+#: attestation tier (see below), queries are emitted round-robin across
 #: modules (one query from each, repeating) so any prefix of the registry
 #: — e.g. a driver that samples the first N queries — spans every operator
-#: family instead of exhausting one module at a time.  Modules whose
-#: queries had no driver CORRECTNESS row in rounds 1-2 (the driver's
-#: sample covered relational/composite/skew/dedup/text/pipeline twice)
-#: lead the cycle so they are hard-verified first.  Round 4:
-#: timeseries/windows/stream_queries front-loaded so the driver's
-#: 50-query prefix sample re-verifies the queries broken by the round-3
-#: TIMESTAMP_NTZ fixture regeneration (VERDICT r3 task #5).
+#: family instead of exhausting one module at a time.
 _MODULE_ORDER = (
     "timeseries",
     "windows",
@@ -75,66 +73,86 @@ _MODULE_ORDER = (
 )
 
 
-#: Queries that sort FIRST within their module's round-robin queue —
-#: the 12 broken by the round-3 TIMESTAMP_NTZ fixture regeneration
-#: (so the driver's 50-query prefix sample re-verifies all of them;
-#: the module cycle alone only reaches ~3 queries per module in 50),
-#: followed by the queries added or rewritten in round 4, which have
-#: no driver CORRECTNESS row yet.
-_FRONTLOAD = (
-    "ts_sessionize",
-    "ts_session_stats",
-    "win_lag_lead",
-    "win_running",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_late_data",
-    "stream_dedup",
-    "dedup_watermarked",
-    "stream_static_join",
-    "stream_stream_join",
-    # round-4 additions/rewrites
-    "ts_activity_streaks",
-    "ts_resample_interp",
-    "win_distinct_range",
-    "agg_entropy",
-    "text_repetition",
-    "graph_triangles",
-    "sim_lsh_approx",
-    "dedup_ngram_jaccard",
+#: Queries emitted literally first within the never-driver-attested tier
+#: (ahead of the module round-robin, not just within their module's queue
+#: — a within-module frontload only surfaces ~3 names per module in a
+#: 50-query prefix).  These carry streaming batch-parity self-checks the
+#: driver has never exercised.
+_PRIORITY = (
+    "stream_stateful",
+    "stream_sink",
+    "stream_foreach_batch",
 )
 
 
-def ordered_registry() -> dict[str, QuerySpec]:
-    """REGISTRY re-ordered round-robin by module (see _MODULE_ORDER).
+def _driver_attestation_rounds() -> dict[str, int]:
+    """Latest driver round with a CORRECTNESS row per query name.
 
-    Registration order follows Python import order, which cross-module
-    imports distort (importing ``pipeline`` registers ``dedup``/``text``
-    first); this function is the stable, intent-bearing order used by
-    ``__spark_entry__.queries()``.  Modules not in _MODULE_ORDER (new
-    ones not yet prioritized) are appended alphabetically.
+    Parses the committed ``CORRECTNESS_r*.json`` artifacts at the repo
+    root (two directories above this file).  A query absent from every
+    file has never been driver-attested.  Missing/unparseable files are
+    skipped — outside the repo checkout this degrades to "nothing
+    attested", which leaves the ordering well-defined.
     """
-    by_module: dict[str, list[QuerySpec]] = {}
+    rounds: dict[str, int] = {}
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for path in root.glob("CORRECTNESS_r*.json"):
+        match = re.search(r"r(\d+)$", path.stem)
+        if not match:
+            continue
+        rnd = int(match.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name in data:
+            rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def ordered_registry() -> dict[str, QuerySpec]:
+    """REGISTRY ordered least-recently-driver-attested first.
+
+    The driver's per-round CORRECTNESS check samples a prefix of this
+    ordering, so the order IS the attestation schedule: queries with no
+    driver CORRECTNESS row in any committed ``CORRECTNESS_r*.json`` come
+    first (with :data:`_PRIORITY` flattened to the very front), then
+    queries whose latest attestation is oldest.  Within each tier,
+    emission is round-robin across modules (see _MODULE_ORDER) so any
+    prefix still spans operator families.  Registration order follows
+    Python import order, which cross-module imports distort; this
+    function is the stable, intent-bearing order used by
+    ``__spark_entry__.queries()``.
+    """
+    attested = _driver_attestation_rounds()
+    tiers: dict[int, dict[str, list[QuerySpec]]] = {}
     for spec in REGISTRY.values():
+        if spec.name in _PRIORITY:
+            continue
+        tier = attested.get(spec.name, 0)
         mod = spec.fn.__module__.rsplit(".", 1)[-1]
-        by_module.setdefault(mod, []).append(spec)
-    for specs in by_module.values():
-        specs.sort(
-            key=lambda s: _FRONTLOAD.index(s.name) if s.name in _FRONTLOAD else len(_FRONTLOAD)
-        )
-    module_cycle = [m for m in _MODULE_ORDER if m in by_module]
-    module_cycle += sorted(m for m in by_module if m not in _MODULE_ORDER)
+        tiers.setdefault(tier, {}).setdefault(mod, []).append(spec)
     out: dict[str, QuerySpec] = {}
-    queues = {m: list(by_module[m]) for m in module_cycle}
-    while queues:
-        for mod in list(module_cycle):
-            if mod not in queues:
-                continue
-            spec = queues[mod].pop(0)
-            out[spec.name] = spec
-            if not queues[mod]:
-                del queues[mod]
+    for name in _PRIORITY:
+        if name in REGISTRY:
+            out[name] = REGISTRY[name]
+    for tier in sorted(tiers):
+        by_module = tiers[tier]
+        for specs in by_module.values():
+            specs.sort(key=lambda s: s.name)
+        module_cycle = [m for m in _MODULE_ORDER if m in by_module]
+        module_cycle += sorted(m for m in by_module if m not in _MODULE_ORDER)
+        queues = {m: list(by_module[m]) for m in module_cycle}
+        while queues:
+            for mod in list(module_cycle):
+                if mod not in queues:
+                    continue
+                spec = queues[mod].pop(0)
+                out[spec.name] = spec
+                if not queues[mod]:
+                    del queues[mod]
     return out
 
 

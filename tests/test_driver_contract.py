@@ -58,3 +58,29 @@ def test_missing_sf_dir_raises_clean_error(spark):
 
     with pytest.raises(AnalysisException):
         load_tables(spark, "/root/testdata/sf_does_not_exist")["lineitem"].count()
+
+
+def test_ordered_registry_frontloads_least_recently_attested():
+    """The driver samples a 50-query prefix of ``ordered_registry()``;
+    the ordering must spend that budget on queries with the stalest (or
+    no) driver CORRECTNESS attestation — VERDICT r4 task #1."""
+    from pyspark_analytics_library_spark.registry import (
+        _PRIORITY,
+        _driver_attestation_rounds,
+        ordered_registry,
+    )
+
+    order = list(ordered_registry())
+    assert set(order) == set(REGISTRY), "ordering must be a permutation"
+    attested = _driver_attestation_rounds()
+    for name in _PRIORITY:
+        assert name in order[: len(_PRIORITY)]
+    never = [n for n in order if n not in attested]
+    if len(never) >= 50:
+        prefix_never = sum(1 for n in order[:50] if n not in attested)
+        assert prefix_never >= 45, (
+            f"only {prefix_never}/50 of the driver prefix are never-attested"
+        )
+    # Staleness must be non-decreasing once the never-attested tier ends.
+    tiers = [attested.get(n, 0) for n in order[len(_PRIORITY):]]
+    assert tiers == sorted(tiers), "attestation rounds must be non-decreasing"

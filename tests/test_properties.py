@@ -225,3 +225,49 @@ def test_centroid_matches_numpy(spark):
     for label, vecs in by_label.items():
         expected = np.mean(np.array(vecs, dtype=np.float64), axis=0)
         assert np.abs(np.array(got[label]) - expected.round(6)).max() <= 1e-6
+
+
+def test_cc_scratch_dir_conf_honored(spark, tmp_path):
+    """spark.analytics.scratchDir must receive the per-round label files
+    (VERDICT r4 task #2) and the result must be unaffected."""
+    from pyspark_analytics_library_spark.operators.dedup import connected_components
+
+    spark.conf.set("spark.analytics.scratchDir", str(tmp_path))
+    try:
+        edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
+        vertices = spark.createDataFrame(
+            [(v,) for v in (1, 2, 3, 10, 11, 20)], "v long"
+        )
+        out = {r.v: r.label for r in connected_components(edges, vertices).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+        scoped = list(tmp_path.glob("pyspark_analytics_cc_*"))
+        assert scoped, "configured scratchDir received no iteration files"
+        names = {p.name for p in scoped[0].iterdir()}
+        assert "sym" in names and any(n.startswith("round_") for n in names)
+    finally:
+        spark.conf.unset("spark.analytics.scratchDir")
+
+
+def test_scratch_root_requires_durable_dir_on_cluster():
+    """On a non-local master with no conf and no checkpoint dir the loop
+    must refuse eagerly instead of writing executor-local paths."""
+    import pytest as _pytest
+
+    from pyspark_analytics_library_spark.operators.dedup import _iteration_scratch_root
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class FakeSession:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    with _pytest.raises(ValueError, match="scratchDir"):
+        _iteration_scratch_root(FakeSession())

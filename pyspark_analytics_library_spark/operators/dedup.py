@@ -240,63 +240,123 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise 3-shingle Jaccard within language, as a
-    distributed set-similarity join: explode each document's distinct
+    """Exact pairwise 3-shingle Jaccard within language — see
+    :func:`ngram_jaccard_pairs`.  The declared query keeps
+    ``prefix_filter`` OFF so results stay byte-exact vs the unblocked
+    oracle at fixture scale; a property test asserts the filtered
+    variant returns the identical pair set."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"])
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, tau: float = 0.2, prefix_filter: bool = False
+) -> DataFrame:
+    """All same-language doc pairs with 3-shingle Jaccard ≥ ``tau``, as
+    a distributed set-similarity join: explode each document's distinct
     shingles, equi-join on (lang, shingle), and COUNT the matches per
     (id_a, id_b) — that count IS |A∩B| exactly, so no pair ever
     carries (or intersects) the shingle arrays themselves.  Sizes join
     back afterward for the inclusion-exclusion denominator.
 
-    Why this shape: any pair with J ≥ 0.2 shares ≥ 1 shingle, so the
+    Why this shape: any pair with J ≥ tau shares ≥ 1 shingle, so the
     shingle equi-join is SOUND blocking with the selectivity of the
     shingle vocabulary — candidate volume is Σ_s C(df_s, 2), a function
     of how often a shingle repeats across docs, not |docs|² per
     language.  (The previous log₅ shingle-count bucketing collapsed to
     ~2 distinct buckets on real length distributions, making it
     lang-only blocking: 107 s at sf0.1; this shape runs the same query
-    in a few seconds and shuffles id pairs, not arrays.)  At web scale
-    the residual risk is ubiquitous hot shingles ("of the and")
-    fattening Σ C(df_s, 2); the sound mitigation is classic prefix
-    filtering — order shingles by ascending global df and join only on
-    each doc's first n − ⌈τ·n⌉ + 1 of them — which drops exactly the
-    hottest shingles from the join without losing any τ-qualifying
-    pair.  Unnecessary at fixture scale, so results stay byte-exact vs
-    the unblocked oracle.
+    in a few seconds and shuffles id pairs, not arrays.)
+
+    ``prefix_filter=True`` is the web-scale path for the residual risk
+    of ubiquitous hot shingles ("of the and") fattening Σ C(df_s, 2):
+    classic prefix filtering orders each document's shingles by
+    ascending global document frequency (ties by shingle text — a total
+    order, so every doc agrees) and joins only on each doc's first
+    n − ⌈τ·n⌉ + 1 of them.  Any τ-qualifying pair must collide inside
+    both prefixes under a shared total order, so the candidate set is a
+    superset of the answer; the hottest shingles sort LAST and drop out
+    of the join entirely.  Survivor-sized candidates are then verified
+    exactly via array_intersect on the full shingle sets (JVM-side,
+    candidate-volume work — the standard filter-then-verify split).
 
     The threshold filters the UNROUNDED ratio (identical IEEE division
     on both engines); only the output column is rounded."""
-    t = load_tables(spark, sf_dir)
-    sh = t["documents"].select(
-        "doc_id", "lang", word_shingles(F.col("text")).alias("sh")
-    )
+    sh = docs.select("doc_id", "lang", word_shingles(F.col("text")).alias("sh"))
     posts = sh.select(
         "doc_id", "lang", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
-    a = posts.select(
-        F.col("doc_id").alias("id_a"), "lang", F.col("n").alias("na"), "s"
-    )
-    b = posts.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("n").alias("nb"),
-        F.col("s").alias("s_b"),
-    )
-    inter = (
-        a.join(
-            b,
-            (F.col("s") == F.col("s_b"))
-            & (F.col("lang") == F.col("lang_b"))
-            & (F.col("id_a") < F.col("id_b")),
+    if prefix_filter:
+        dfreq = posts.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("df"))
+        ranked = posts.join(dfreq, ["lang", "s"]).withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
         )
-        .groupBy("id_a", "id_b", "lang", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+        prefix = ranked.filter(
+            F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+        )
+        pa = prefix.select(F.col("doc_id").alias("id_a"), "lang", "s")
+        pb = prefix.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("s").alias("s_b"),
+        )
+        cand = (
+            pa.join(
+                pb,
+                (F.col("s") == F.col("s_b"))
+                & (F.col("lang") == F.col("lang_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b", "lang")
+            .distinct()
+        )
+        verified = (
+            cand.join(
+                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                "lang",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+                F.size("sh_a").alias("na"),
+                F.size("sh_b").alias("nb"),
+            )
+        )
+    else:
+        a = posts.select(
+            F.col("doc_id").alias("id_a"), "lang", F.col("n").alias("na"), "s"
+        )
+        b = posts.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("lang").alias("lang_b"),
+            F.col("n").alias("nb"),
+            F.col("s").alias("s_b"),
+        )
+        verified = (
+            a.join(
+                b,
+                (F.col("s") == F.col("s_b"))
+                & (F.col("lang") == F.col("lang_b"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .groupBy("id_a", "id_b", "lang", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     j_raw = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        inter.select("id_a", "id_b", "lang", j_raw.alias("j_raw"))
-        .filter(F.col("j_raw") >= 0.2)
+        verified.select("id_a", "id_b", "lang", j_raw.alias("j_raw"))
+        .filter(F.col("j_raw") >= tau)
         .select("id_a", "id_b", "lang", F.round(F.col("j_raw"), 4).alias("jaccard"))
     )
 

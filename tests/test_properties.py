@@ -271,3 +271,55 @@ def test_scratch_root_requires_durable_dir_on_cluster():
 
     with _pytest.raises(ValueError, match="scratchDir"):
         _iteration_scratch_root(FakeSession())
+
+
+def test_ngram_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix filtering is pure candidate pruning: the filtered pair set
+    must equal the unfiltered one exactly (VERDICT r4 task #3)."""
+    import os
+
+    from pyspark_analytics_library_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    # sf0.1 (5k docs) exercises real candidate pruning; fall back to the
+    # default test scale if the larger fixture is absent.
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        sf_dir = TEST_SF_DIR
+    docs = load_tables(spark, sf_dir)["documents"]
+    plain = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    filtered = sorted(map(tuple, ngram_jaccard_pairs(docs, prefix_filter=True).collect()))
+    assert plain == filtered
+    assert plain, "fixture should produce at least one qualifying pair"
+
+
+def test_triangle_dense_dispatch_bounded_by_edges(spark, monkeypatch):
+    """A dense-but-large graph (edge count over the cap) must take the
+    distributed sparse path even when the vertex count is tiny
+    (VERDICT r4 task #4).  numpy.zeros is the dense kernel's first
+    call, so poisoning it proves the dense branch never ran."""
+    import numpy as np
+
+    from itertools import combinations
+
+    from pyspark_analytics_library_spark.operators.graph import triangle_census
+
+    k6 = spark.createDataFrame(
+        [(u, v) for u, v in combinations(range(1, 7), 2)], "u long, v long"
+    )
+    expected = (15, 60, 20, 1.0)  # edges, wedges, triangles, clustering
+
+    dense_row = tuple(triangle_census(spark, k6).collect()[0])
+    assert dense_row == expected
+
+    spark.conf.set("spark.analytics.graph.denseMatmulMaxEdges", "10")
+    try:
+        def _no_dense(*a, **k):
+            raise AssertionError("dense matmul path must not run over the edge cap")
+
+        monkeypatch.setattr(np, "zeros", _no_dense)
+        sparse_row = tuple(triangle_census(spark, k6).collect()[0])
+    finally:
+        monkeypatch.undo()
+        spark.conf.unset("spark.analytics.graph.denseMatmulMaxEdges")
+    assert sparse_row == expected

@@ -39,14 +39,19 @@ def _staged_events_dir(sf_dir: str) -> str:
     target = os.path.join(sf_dir, "events.parquet")
     # lexists, not exists: a STALE symlink (its fixture dir deleted and
     # re-created elsewhere, e.g. numbered pytest tmp dirs reusing a
-    # basename) fails exists() yet still blocks os.symlink() — re-point
-    # it instead of crashing.
-    if os.path.lexists(link) and (
-        not os.path.islink(link) or os.readlink(link) != target
+    # basename) fails exists() yet still blocks os.symlink().  Re-point
+    # atomically: create under a unique temp name and rename over the
+    # old link — a remove→symlink sequence can interleave with a
+    # concurrent driver staging the same basename and crash on
+    # FileExistsError, the very failure the re-point exists to fix.
+    if not (
+        os.path.lexists(link)
+        and os.path.islink(link)
+        and os.readlink(link) == target
     ):
-        os.remove(link)
-    if not os.path.lexists(link):
-        os.symlink(target, link)
+        tmp = os.path.join(d, f".events_{os.getpid()}_{uuid.uuid4().hex[:6]}")
+        os.symlink(target, tmp)
+        os.replace(tmp, link)
     return d
 
 
@@ -92,6 +97,23 @@ def run_to_memory(
     q.awaitTermination(timeout_s)
     q.stop()
     return name, df.sparkSession
+
+
+def _assert_stream_covers_events(
+    spark: SparkSession, sf_dir: str, streamed_events: int, what: str
+) -> None:
+    """Embedded batch-vs-stream row-count self-check: rows-only queries
+    get no DuckDB oracle, so the query itself proves the stream saw
+    exactly the batch row set — a driver rows-only green then attests
+    semantics, not just that a job ran.  One count aggregate on the
+    batch side; the streamed total comes from the already-materialized
+    sink."""
+    batch_events = load_tables(spark, sf_dir, register_views=False)["events"].count()
+    if streamed_events != batch_events:
+        raise AssertionError(
+            f"{what}: stream processed {streamed_events} events, "
+            f"batch twin has {batch_events}"
+        )
 
 
 @query("stream_tumbling", tags=("rows-only", "streaming"))
@@ -249,9 +271,12 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = s.table(name)
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
+    final = (
         t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
     )
+    streamed = final.agg(F.sum("n_events")).collect()[0][0] or 0
+    _assert_stream_covers_events(spark, sf_dir, streamed, "stream_stateful")
+    return final
 
 
 @query("stream_sink", tags=("rows-only", "streaming"))
@@ -279,7 +304,10 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     q.stop()
-    return spark.read.parquet(out_dir)
+    sink = spark.read.parquet(out_dir)
+    streamed = sink.agg(F.sum("n")).collect()[0][0] or 0
+    _assert_stream_covers_events(spark, sf_dir, streamed, "stream_sink")
+    return sink
 
 
 @query("dedup_watermarked", tags=("rows-only", "streaming"))
@@ -397,7 +425,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     q.stop()
-    return (
+    out = (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
         .agg(
@@ -406,3 +434,6 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    streamed = out.agg(F.sum("n_events")).collect()[0][0] or 0
+    _assert_stream_covers_events(spark, sf_dir, streamed, "stream_foreach_batch")
+    return out

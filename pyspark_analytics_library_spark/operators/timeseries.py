@@ -636,7 +636,7 @@ def q_ts_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                    CAST(pv AS DOUBLE)
-                   + CAST((nv - pv) * (h - ph) AS DOUBLE) / (nh - ph)
+                   + CAST(nv - pv AS DOUBLE) * (h - ph) / (nh - ph)
                WHEN pv IS NOT NULL THEN CAST(pv AS DOUBLE)
                ELSE CAST(nv AS DOUBLE)
            END + 0.5) / 10000 AS value_interp
@@ -661,9 +661,12 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundaries, where even same-ulp inputs round apart.  So
     everything is integer until one final deterministic step: `value`
     is 4-dp exact → scale to int ten-thousandths (FLOOR(v·1e4+0.5)),
-    SUM as BIGINT (exact, order-independent), interpolate as
-    int·int/int with ONE double division — bit-identical on both
-    engines — and FLOOR(x+0.5)/1e4 back to value units.
+    SUM as BIGINT (exact, order-independent), interpolate with the
+    value delta cast to double BEFORE the slope multiply — an int64
+    (nv−pv)·(h−ph) product could silently wrap on Spark (non-ANSI)
+    while DuckDB raises, the worst kind of divergence; the double
+    product rounds identically on both engines and stays exact below
+    2^53 — and FLOOR(x+0.5)/1e4 back to value units.
     """
     ev = load_tables(spark, sf_dir)["events"]
     v_scaled = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
@@ -700,9 +703,8 @@ def q_ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull(),
             F.col("pv").cast("double")
-            + ((F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph"))).cast(
-                "double"
-            )
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (F.col("h") - F.col("ph"))
             / (F.col("nh") - F.col("ph")),
         )
         .when(F.col("pv").isNotNull(), F.col("pv").cast("double"))

@@ -323,3 +323,26 @@ def test_triangle_dense_dispatch_bounded_by_edges(spark, monkeypatch):
         monkeypatch.undo()
         spark.conf.unset("spark.analytics.graph.denseMatmulMaxEdges")
     assert sparse_row == expected
+
+
+def test_approx_quantile_close_to_exact(spark):
+    """percentile_approx must estimate, not just run: within 10% of the
+    exact per-group median (VERDICT r4 task #7)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    approx = {
+        r["l_returnflag"]: r["approx_median_price"]
+        for r in REGISTRY["agg_approx_quantile"].fn(spark, TEST_SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in load_tables(spark, TEST_SF_DIR)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(F.median("l_extendedprice").alias("m"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, m in exact.items():
+        assert abs(approx[flag] - m) / max(abs(m), 1) < 0.1, (flag, approx[flag], m)

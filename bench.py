@@ -46,6 +46,13 @@ HEADLINE = {
     # regression reference").
     "ngram_jaccard": "dedup_ngram_jaccard",
     "similarity_lsh": "sim_lsh_approx",
+    # Round-5 additions: the graph family had no bench coverage at all,
+    # and ts_resample_interp is the heaviest timeseries plan (dense
+    # grid + dual unbounded frames) — reference rows in BASELINE.md
+    # §"Round-5 regression reference".
+    "graph_triangles": "graph_triangles",
+    "graph_pagerank": "graph_pagerank_nations",
+    "resample_interp": "ts_resample_interp",
 }
 
 #: Round-3 additions — excluded from the headline `value` so it stays
@@ -57,6 +64,9 @@ EXTENDED = {
     "similarity_ivf",
     "ngram_jaccard",
     "similarity_lsh",
+    "graph_triangles",
+    "graph_pagerank",
+    "resample_interp",
 }
 
 
@@ -69,11 +79,12 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Queries whose fn() drives an eager loop (per-round materialization):
-    # the work happens at build time, so the timed region must rebuild
-    # the DataFrame — re-collecting the returned frame would only re-read
-    # the final checkpoint.
-    iterative = {"dedup_components"}
+    # Queries whose fn() does eager work at build time (per-round
+    # materialization, or driver-side kernels fed by toPandas): the
+    # timed region must rebuild the DataFrame — re-collecting the
+    # returned frame would only re-read the final checkpoint / replay
+    # the cheap tail aggregates.
+    iterative = {"dedup_components", "graph_triangles"}
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -73,15 +73,18 @@ _MODULE_ORDER = (
 )
 
 
-#: Queries emitted literally first within the never-driver-attested tier
-#: (ahead of the module round-robin, not just within their module's queue
-#: — a within-module frontload only surfaces ~3 names per module in a
-#: 50-query prefix).  These carry streaming batch-parity self-checks the
-#: driver has never exercised.
+#: Queries emitted literally first — ahead of the attestation tiers and
+#: the module round-robin (a within-module frontload only surfaces ~3
+#: names per module in a 50-query prefix).  The three streaming queries
+#: carry batch-parity self-checks the driver has never exercised;
+#: connected components had its scratch-path/checkpoint machinery
+#: changed in rounds 4-5 after its last driver row (r3), so it needs
+#: re-attestation ahead of its staleness rank.
 _PRIORITY = (
     "stream_stateful",
     "stream_sink",
     "stream_foreach_batch",
+    "dedup_connected_components",
 )
 
 

@@ -346,3 +346,26 @@ def test_approx_quantile_close_to_exact(spark):
     assert set(approx) == set(exact)
     for flag, m in exact.items():
         assert abs(approx[flag] - m) / max(abs(m), 1) < 0.1, (flag, approx[flag], m)
+
+
+def test_scratch_root_uses_checkpoint_dir_on_cluster():
+    """With no scratchDir conf, a cluster master falls back to the
+    application's configured checkpoint dir."""
+    from pyspark_analytics_library_spark.operators.dedup import _iteration_scratch_root
+
+    class FakeConf:
+        def get(self, key, default=None):
+            return default
+
+    class FakeSC:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return "hdfs://nn/checkpoints"
+
+    class FakeSession:
+        conf = FakeConf()
+        sparkContext = FakeSC()
+
+    root = _iteration_scratch_root(FakeSession())
+    assert root.startswith("hdfs://nn/checkpoints/pyspark_analytics_cc_")

@@ -88,17 +88,38 @@ _PRIORITY = (
 )
 
 
-def _driver_attestation_rounds() -> dict[str, int]:
-    """Latest driver round with a CORRECTNESS row per query name.
+def _row_green(row: object) -> bool:
+    """Whether a driver CORRECTNESS row records a PASS.
+
+    Oracled rows pass on all three match flags; rows-only entries
+    (err == "no_oracle") pass by running.  Anything else — a real err,
+    or a false match flag — is a failure and must NOT count as
+    attestation: a failed query should rotate back into the sample
+    prefix, not age out of it as if it were verified.
+    """
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err")
+    if err == "no_oracle":
+        return True
+    if err is not None:
+        return False
+    return all(row.get(k) for k in ("rows_match", "schema_match", "hash_match"))
+
+
+def _driver_attestation_rounds(root: pathlib.Path | None = None) -> dict[str, int]:
+    """Latest driver round with a GREEN CORRECTNESS row per query name.
 
     Parses the committed ``CORRECTNESS_r*.json`` artifacts at the repo
     root (two directories above this file).  A query absent from every
-    file has never been driver-attested.  Missing/unparseable files are
-    skipped — outside the repo checkout this degrades to "nothing
-    attested", which leaves the ordering well-defined.
+    file — or present only with failing rows — has never been
+    driver-attested.  Missing/unparseable files are skipped — outside
+    the repo checkout this degrades to "nothing attested", which leaves
+    the ordering well-defined.
     """
     rounds: dict[str, int] = {}
-    root = pathlib.Path(__file__).resolve().parent.parent
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parent.parent
     for path in root.glob("CORRECTNESS_r*.json"):
         match = re.search(r"r(\d+)$", path.stem)
         if not match:
@@ -110,8 +131,9 @@ def _driver_attestation_rounds() -> dict[str, int]:
             continue
         if not isinstance(data, dict):
             continue
-        for name in data:
-            rounds[name] = max(rounds.get(name, 0), rnd)
+        for name, row in data.items():
+            if _row_green(row):
+                rounds[name] = max(rounds.get(name, 0), rnd)
     return rounds
 
 

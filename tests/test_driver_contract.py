@@ -84,3 +84,26 @@ def test_ordered_registry_frontloads_least_recently_attested():
     # Staleness must be non-decreasing once the never-attested tier ends.
     tiers = [attested.get(n, 0) for n in order[len(_PRIORITY):]]
     assert tiers == sorted(tiers), "attestation rounds must be non-decreasing"
+
+
+def test_attestation_ignores_failing_rows(tmp_path):
+    """A failed driver row must not count as attestation — the query
+    should rotate back toward the sample prefix."""
+    import json as _json
+    import pathlib as _pathlib
+
+    from pyspark_analytics_library_spark.registry import _driver_attestation_rounds
+
+    rows = {
+        "good_oracle": {"rows_match": True, "schema_match": True, "hash_match": True,
+                        "spark_rows": 5, "oracle_rows": 5, "err": None},
+        "rows_only": {"rows_match": None, "schema_match": None, "hash_match": None,
+                      "spark_rows": 9, "oracle_rows": None, "err": "no_oracle"},
+        "hash_fail": {"rows_match": True, "schema_match": True, "hash_match": False,
+                      "spark_rows": 5, "oracle_rows": 5, "err": None},
+        "crashed": {"rows_match": None, "schema_match": None, "hash_match": None,
+                    "spark_rows": None, "oracle_rows": None, "err": "boom"},
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(_json.dumps(rows))
+    att = _driver_attestation_rounds(root=_pathlib.Path(tmp_path))
+    assert att == {"good_oracle": 7, "rows_only": 7}

@@ -306,3 +306,16 @@ def test_repetition_shuffles_counts_not_tokens(spark):
     assert text.count("HashAggregate") >= 4, text
     assert "partial_sum" in text and "partial_count" in text, text
     assert "Generate explode" in text
+
+
+def test_ngram_prefix_filter_stays_equi_join(spark):
+    """The prefix-filtered set-similarity join is the web-scale path;
+    every join in it must be a hash/sort-merge equi-join — a nested-loop
+    or cartesian fallback would silently reintroduce the pair space the
+    filter exists to avoid."""
+    from pyspark_analytics_library_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_tables(spark, TEST_SF_DIR)["documents"]
+    text = plan_text(ngram_jaccard_pairs(docs, prefix_filter=True))
+    assert "BroadcastNestedLoopJoin" not in text
+    assert "CartesianProduct" not in text

@@ -482,36 +482,48 @@ class ConvergenceError(RuntimeError):
     """
 
 
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    """Best-effort recursive delete through the Hadoop FileSystem API —
+    works for any URI Spark can write (file://, hdfs://, s3a://), which
+    ``shutil.rmtree`` does not once scratchDir points at remote
+    storage."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:  # cleanup must never fail the computation
+        pass
+
+
 def _cc_checkpoint(df: DataFrame, scratch_root: str, round_no: int) -> DataFrame:
     """Materialize a loop frame to scratch parquet and re-read it —
     cuts BOTH the logical plan and the carried size statistics (see
-    connected_components docstring).  Keeps only the latest round's
-    files; the final round's files back the returned DataFrame, so the
-    (pid-scoped, tiny) directory is left for the OS tempdir cleaner.
+    connected_components docstring).  Rolls the prior round's files off
+    via the Hadoop FS API (so the delete is real on remote scratchDirs
+    too); only the latest round is ever on disk, and the loop deletes
+    everything except the FINAL round's files — those back the returned
+    DataFrame and are reclaimed when the caller clears the app-scoped
+    scratch dir (or, locally, by the OS tempdir cleaner).
 
     Writes are coalesced to a few files: the label table is
     vertex-count-sized and every downstream round re-reads it whole, so
     shuffle-partition-many tiny files would pay per-file open/commit
     cost × rounds for zero parallelism benefit.  (coalesce, not
     repartition — no extra shuffle; a billion-vertex cluster run sizes
-    this up with the rest of the session's partitioning.)
-
-    Prior-round cleanup is best-effort and local-filesystem only: on a
-    remote scratchDir (hdfs://, s3a://) rmtree is a silent no-op and
-    the per-round files — vertex-table-sized, latest-two only via this
-    rolling delete where it works — are reclaimed when the caller
-    clears the pid-scoped scratch dir."""
-    import shutil
-
+    this up with the rest of the session's partitioning.)"""
     path = os.path.join(scratch_root, f"round_{round_no}")
     df.coalesce(4).write.mode("overwrite").parquet(path)
-    prev = os.path.join(scratch_root, f"round_{round_no - 1}")
-    shutil.rmtree(prev, ignore_errors=True)
+    _fs_delete(df.sparkSession, os.path.join(scratch_root, f"round_{round_no - 1}"))
     return df.sparkSession.read.parquet(path)
 
 
 def _iteration_scratch_root(spark: SparkSession) -> str:
-    """Durable scratch base for iterative materialization, pid-scoped.
+    """Durable scratch base for iterative materialization, scoped by
+    the cluster-unique Spark application id (NOT the driver pid: pids
+    collide across hosts and containerized drivers are routinely pid 1,
+    so two apps sharing one scratchDir URI would overwrite each other's
+    round files).
 
     Resolution order (VERDICT r4 "what's wrong" #1 — a driver-local
     tempdir is only correct when driver and executors share a
@@ -542,7 +554,8 @@ def _iteration_scratch_root(spark: SparkSession) -> str:
                 "URI (hdfs://, s3a://, ...) or call "
                 "sparkContext.setCheckpointDir() first"
             )
-    return os.path.join(base, f"pyspark_analytics_cc_{os.getpid()}")
+    app_id = spark.sparkContext.applicationId
+    return os.path.join(base, f"pyspark_analytics_cc_{app_id}")
 
 
 def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
@@ -638,11 +651,16 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
         if changed == 0:
             break
     if changed != 0:
+        # Nothing useful survives an unconverged run — reclaim it all.
+        _fs_delete(lab.sparkSession, scratch_root)
         raise ConvergenceError(
             f"connected components did not converge within {max_iters} "
             f"group-min rounds ({changed} labels still changing); "
             "returning partial labels would silently split components"
         )
+    # The edge materialization is dead once the loop exits; only the
+    # final round's parquet (backing the returned frame) must survive.
+    _fs_delete(lab.sparkSession, sym_path)
     return lab
 
 

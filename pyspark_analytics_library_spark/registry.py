@@ -79,13 +79,16 @@ _MODULE_ORDER = (
 #: carry batch-parity self-checks the driver has never exercised;
 #: connected components had its scratch-path/checkpoint machinery
 #: changed in rounds 4-5 after its last driver row (r3), so it needs
-#: re-attestation ahead of its staleness rank.
-_PRIORITY = (
-    "stream_stateful",
-    "stream_sink",
-    "stream_foreach_batch",
-    "dedup_connected_components",
-)
+#: re-attestation ahead of its staleness rank.  Each pin names the
+#: round whose GREEN driver row clears it: once attestation reaches
+#: that round the query re-enters the normal staleness rotation, so a
+#: pin can never permanently starve the least-recently-attested tier.
+_PRIORITY: dict[str, int] = {
+    "stream_stateful": 5,
+    "stream_sink": 5,
+    "stream_foreach_batch": 5,
+    "dedup_connected_components": 5,
+}
 
 
 def _row_green(row: object) -> bool:
@@ -152,17 +155,21 @@ def ordered_registry() -> dict[str, QuerySpec]:
     ``__spark_entry__.queries()``.
     """
     attested = _driver_attestation_rounds()
+    pinned = [
+        name
+        for name, until in _PRIORITY.items()
+        if name in REGISTRY and attested.get(name, 0) < until
+    ]
     tiers: dict[int, dict[str, list[QuerySpec]]] = {}
     for spec in REGISTRY.values():
-        if spec.name in _PRIORITY:
+        if spec.name in pinned:
             continue
         tier = attested.get(spec.name, 0)
         mod = spec.fn.__module__.rsplit(".", 1)[-1]
         tiers.setdefault(tier, {}).setdefault(mod, []).append(spec)
     out: dict[str, QuerySpec] = {}
-    for name in _PRIORITY:
-        if name in REGISTRY:
-            out[name] = REGISTRY[name]
+    for name in pinned:
+        out[name] = REGISTRY[name]
     for tier in sorted(tiers):
         by_module = tiers[tier]
         for specs in by_module.values():

@@ -12,6 +12,7 @@ backfill run uses in production.  State lives on executors
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -31,9 +32,19 @@ _SCRATCH = os.path.join(
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; stage one in
-    scratch containing a symlink to the (read-only) events parquet."""
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    d = os.path.join(_SCRATCH, f"stream_src_{sf_name}")
+    scratch containing a symlink to the (read-only) events parquet.
+
+    The staged dir is keyed by a digest of the FULL fixture path, not
+    just its basename: two processes using different fixture dirs that
+    share a basename (numbered pytest tmp dirs both ending in sf0.01)
+    must stage disjoint dirs — with a shared key they would silently
+    re-point each other's events symlink mid-stream."""
+    sf_norm = os.path.normpath(sf_dir)
+    sf_key = (
+        f"{os.path.basename(sf_norm)}_"
+        f"{hashlib.md5(sf_norm.encode()).hexdigest()[:8]}"
+    )
+    d = os.path.join(_SCRATCH, f"stream_src_{sf_key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     target = os.path.join(sf_dir, "events.parquet")
@@ -174,10 +185,16 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped.  tests/test_streaming.py asserts the drop actually
     happened (fewer events counted than exist)."""
     base = load_tables(spark, sf_dir, register_views=False)["events"]
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    # pid-scoped: concurrent processes must not rmtree each other's
-    # staged files mid-stream; within one process the staging is reused.
-    split_dir = os.path.join(_SCRATCH, f"late_stream_{sf_name}_{os.getpid()}")
+    sf_norm = os.path.normpath(sf_dir)
+    # pid-scoped (concurrent processes must not rmtree each other's
+    # staged files mid-stream) + full-path digest (same-basename fixture
+    # dirs within one process must stage disjoint splits); within one
+    # process the staging is reused.
+    split_dir = os.path.join(
+        _SCRATCH,
+        f"late_stream_{os.path.basename(sf_norm)}_"
+        f"{hashlib.md5(sf_norm.encode()).hexdigest()[:8]}_{os.getpid()}",
+    )
     cutoff = "2024-01-10 00:00:00"
     on_time = base.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
     late = base.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))

@@ -73,16 +73,21 @@ def test_ordered_registry_frontloads_least_recently_attested():
     order = list(ordered_registry())
     assert set(order) == set(REGISTRY), "ordering must be a permutation"
     attested = _driver_attestation_rounds()
-    for name in _PRIORITY:
-        assert name in order[: len(_PRIORITY)]
+    # Pins hold only until their clearing round is green-attested.
+    pinned = [
+        n
+        for n, until in _PRIORITY.items()
+        if n in REGISTRY and attested.get(n, 0) < until
+    ]
+    assert order[: len(pinned)] == pinned
     never = [n for n in order if n not in attested]
     if len(never) >= 50:
         prefix_never = sum(1 for n in order[:50] if n not in attested)
         assert prefix_never >= 45, (
             f"only {prefix_never}/50 of the driver prefix are never-attested"
         )
-    # Staleness must be non-decreasing once the never-attested tier ends.
-    tiers = [attested.get(n, 0) for n in order[len(_PRIORITY):]]
+    # Staleness must be non-decreasing once the pinned prefix ends.
+    tiers = [attested.get(n, 0) for n in order[len(pinned):]]
     assert tiers == sorted(tiers), "attestation rounds must be non-decreasing"
 
 
@@ -107,3 +112,18 @@ def test_attestation_ignores_failing_rows(tmp_path):
     (tmp_path / "CORRECTNESS_r07.json").write_text(_json.dumps(rows))
     att = _driver_attestation_rounds(root=_pathlib.Path(tmp_path))
     assert att == {"good_oracle": 7, "rows_only": 7}
+
+
+def test_priority_pins_expire_after_clearing_round(monkeypatch):
+    """Once a pinned query has a green driver row at its clearing
+    round, it re-enters the normal staleness rotation (here: freshest
+    tier, so it sorts last) instead of holding a sample slot forever."""
+    import pyspark_analytics_library_spark.registry as reg
+
+    monkeypatch.setattr(
+        reg,
+        "_driver_attestation_rounds",
+        lambda root=None: {n: until for n, until in reg._PRIORITY.items()},
+    )
+    order = list(reg.ordered_registry())
+    assert set(order[-len(reg._PRIORITY):]) == set(reg._PRIORITY)

@@ -243,7 +243,10 @@ def test_cc_scratch_dir_conf_honored(spark, tmp_path):
         scoped = list(tmp_path.glob("pyspark_analytics_cc_*"))
         assert scoped, "configured scratchDir received no iteration files"
         names = {p.name for p in scoped[0].iterdir()}
-        assert "sym" in names and any(n.startswith("round_") for n in names)
+        # Only the final round's files (backing the returned frame) may
+        # survive; the edge materialization is reclaimed at completion.
+        assert any(n.startswith("round_") for n in names)
+        assert "sym" not in names
     finally:
         spark.conf.unset("spark.analytics.scratchDir")
 
@@ -359,6 +362,7 @@ def test_scratch_root_uses_checkpoint_dir_on_cluster():
 
     class FakeSC:
         master = "spark://cluster:7077"
+        applicationId = "app-20260814-0007"
 
         def getCheckpointDir(self):
             return "hdfs://nn/checkpoints"
@@ -368,4 +372,26 @@ def test_scratch_root_uses_checkpoint_dir_on_cluster():
         sparkContext = FakeSC()
 
     root = _iteration_scratch_root(FakeSession())
-    assert root.startswith("hdfs://nn/checkpoints/pyspark_analytics_cc_")
+    # App-id scoped (NOT pid): two drivers sharing one scratch URI must
+    # land in disjoint roots even when their pids collide across hosts.
+    assert root == "hdfs://nn/checkpoints/pyspark_analytics_cc_app-20260814-0007"
+
+
+def test_triangle_sparse_path_non_bigint_ids(spark):
+    """triangle_census accepts any node-id type; the sparse path's
+    empty-array literal must type itself from the edge schema instead
+    of assuming bigint."""
+    from itertools import combinations
+
+    from pyspark_analytics_library_spark.operators.graph import triangle_census
+
+    k4 = spark.createDataFrame(
+        [(f"n{u}", f"n{v}") for u, v in combinations(range(4), 2)],
+        "u string, v string",
+    )
+    spark.conf.set("spark.analytics.graph.denseMatmulMaxEdges", "1")
+    try:
+        row = tuple(triangle_census(spark, k4).collect()[0])
+    finally:
+        spark.conf.unset("spark.analytics.graph.denseMatmulMaxEdges")
+    assert row == (6, 12, 4, 1.0)

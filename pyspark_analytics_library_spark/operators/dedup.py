@@ -554,8 +554,16 @@ def _iteration_scratch_root(spark: SparkSession) -> str:
                 "URI (hdfs://, s3a://, ...) or call "
                 "sparkContext.setCheckpointDir() first"
             )
+    import uuid
+
+    # App-id scoping isolates concurrent applications sharing one
+    # scratch URI; the per-call uuid isolates repeated/concurrent loops
+    # WITHIN an application — a second run must not overwrite the final
+    # round files still backing the first run's returned DataFrame.
     app_id = spark.sparkContext.applicationId
-    return os.path.join(base, f"pyspark_analytics_cc_{app_id}")
+    return os.path.join(
+        base, f"pyspark_analytics_cc_{app_id}", uuid.uuid4().hex[:12]
+    )
 
 
 def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:

@@ -240,9 +240,9 @@ def test_cc_scratch_dir_conf_honored(spark, tmp_path):
         )
         out = {r.v: r.label for r in connected_components(edges, vertices).collect()}
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
-        scoped = list(tmp_path.glob("pyspark_analytics_cc_*"))
-        assert scoped, "configured scratchDir received no iteration files"
-        names = {p.name for p in scoped[0].iterdir()}
+        runs = list(tmp_path.glob("pyspark_analytics_cc_*/*"))
+        assert runs, "configured scratchDir received no iteration files"
+        names = {p.name for p in runs[0].iterdir()}
         # Only the final round's files (backing the returned frame) may
         # survive; the edge materialization is reclaimed at completion.
         assert any(n.startswith("round_") for n in names)
@@ -373,8 +373,12 @@ def test_scratch_root_uses_checkpoint_dir_on_cluster():
 
     root = _iteration_scratch_root(FakeSession())
     # App-id scoped (NOT pid): two drivers sharing one scratch URI must
-    # land in disjoint roots even when their pids collide across hosts.
-    assert root == "hdfs://nn/checkpoints/pyspark_analytics_cc_app-20260814-0007"
+    # land in disjoint roots even when their pids collide across hosts;
+    # the per-call leaf isolates repeated loops within one app.
+    assert root.startswith(
+        "hdfs://nn/checkpoints/pyspark_analytics_cc_app-20260814-0007/"
+    )
+    assert root != _iteration_scratch_root(FakeSession())
 
 
 def test_triangle_sparse_path_non_bigint_ids(spark):

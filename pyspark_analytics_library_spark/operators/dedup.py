@@ -429,8 +429,8 @@ def connected_components(
     scheme takes 8, and a 500-node chain took 84-342 rounds in
     simulation vs ≤10 for group-min.)
 
-    Every round materializes the label table to a pid-scoped scratch
-    parquet and re-reads it.  This does TWO jobs ``localCheckpoint``
+    Every round materializes the label table to an app-and-run-scoped
+    scratch parquet (see _iteration_scratch_root) and re-reads it.  This does TWO jobs ``localCheckpoint``
     does not: it cuts the logical plan (cache() truncates recompute,
     NOT the plan tree) AND it resets Catalyst's size statistics —
     LogicalRDD carries the ORIGIN plan's estimated stats, and a

@@ -399,3 +399,19 @@ def test_triangle_sparse_path_non_bigint_ids(spark):
     finally:
         spark.conf.unset("spark.analytics.graph.denseMatmulMaxEdges")
     assert row == (6, 12, 4, 1.0)
+
+
+def test_ngram_prefix_filter_lossless_across_thresholds(spark):
+    """The prefix-length bound n − ⌈τ·n⌉ + 1 must be lossless for any
+    τ, not just the declared query's 0.2 — check a spread at the small
+    fixture scale."""
+    from pyspark_analytics_library_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    docs = load_tables(spark, TEST_SF_DIR)["documents"]
+    for tau in (0.1, 0.35, 0.6):
+        plain = sorted(map(tuple, ngram_jaccard_pairs(docs, tau=tau).collect()))
+        filtered = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, tau=tau, prefix_filter=True).collect())
+        )
+        assert plain == filtered, f"tau={tau}"

@@ -1,0 +1,85 @@
+"""Source lints that pin the engine's scale posture.
+
+The package's contract (SCALE.md) is that driver-side materialization
+is the exception: every ``.collect()`` / ``.toPandas()`` in operator
+code must be one of the documented, size-guarded cases (scalar
+convergence/self-check aggregates, the IndexTooLargeError-gated
+broadcast index build, the capped dense-census path).  A new operator
+that quietly collects its input would pass fixture-scale correctness
+tests while being wrong at 100 TB — this lint makes that a visible,
+reviewed decision instead of a silent regression: adding a
+materialization means updating the whitelist below WITH a size guard
+in the code.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "pyspark_analytics_library_spark",
+)
+
+#: repo-relative file → exact count of driver-materialization call
+#: sites (``.collect()`` + ``.toPandas()``).  Every entry is justified
+#: in the file itself at the cited call site.
+WHITELIST = {
+    # batch-vs-stream event-count self-checks: one scalar row each
+    "streaming/stream_queries.py": 3,
+    # stratified-sample fraction map: one row per distinct lang (~5)
+    "operators/relational.py": 1,
+    # dim probe (1 row) + IndexTooLargeError-gated index build +
+    # IVF centroid sample (limit(sample))
+    "operators/similarity.py": 3,
+    # dense triangle census: degree table + edge list, both behind the
+    # vertex AND edge caps that dispatch to the sparse path
+    "operators/graph.py": 2,
+}
+
+_CALL = re.compile(r"\.(?:collect|toPandas)\(\)")
+_PYUDF = re.compile(r"\bF\.udf\(")
+
+
+def _count_sites(path: str) -> int:
+    with open(path, encoding="utf-8") as f:
+        return sum(len(_CALL.findall(line)) for line in f)
+
+
+def test_driver_materialization_sites_are_whitelisted():
+    found: dict[str, int] = {}
+    for root, _dirs, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            n = _count_sites(path)
+            if n:
+                found[rel] = n
+    assert found == WHITELIST, (
+        "driver-side materialization sites changed — if the new site is "
+        f"size-guarded, update the whitelist: {found} != {WHITELIST}"
+    )
+
+
+def test_row_at_a_time_udfs_only_in_the_udf_demo_module():
+    """Row-at-a-time ``F.udf`` is the slow path (per-row Python↔JVM
+    serialization); the engine's rule is built-in expressions or
+    Arrow-batched pandas UDFs everywhere EXCEPT operators/udf.py, whose
+    whole point is demonstrating the UDF machinery tiers side by side
+    (plain / arrow / pandas, each with the same CASE oracle)."""
+    offenders = []
+    for root, _dirs, files in os.walk(PKG):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            if rel == "operators/udf.py":
+                continue
+            with open(path, encoding="utf-8") as f:
+                if _PYUDF.search(f.read()):
+                    offenders.append(rel)
+    assert not offenders, f"row-at-a-time F.udf outside the demo module: {offenders}"

@@ -319,3 +319,24 @@ def test_ngram_prefix_filter_stays_equi_join(spark):
     text = plan_text(ngram_jaccard_pairs(docs, prefix_filter=True))
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+
+
+def test_resample_interp_grid_build_is_broadcast(spark):
+    """ts_resample_interp's only nested-loop join is the dense-grid
+    build: a generated hour sequence (one row per hour between
+    min/max ts) crossed with the distinct event types — both
+    broadcast-sized regardless of fixture scale.  The event-sized
+    side must join that grid by hash, and nothing data-sized may fall
+    into a nested-loop/cartesian: at 100 TB that would replicate the
+    events table per grid row."""
+    df = REGISTRY["ts_resample_interp"].fn(spark, TEST_SF_DIR)
+    # executedPlan (not the formatted explain): operator arguments must
+    # be inline so the NLJ's build subtree is textually under it
+    text = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    assert text.count("BroadcastNestedLoopJoin") == 1, text
+    assert "CartesianProduct" not in text
+    # the NLJ's build side is the generated hour grid, not event data
+    nlj_tail = text.split("BroadcastNestedLoopJoin")[1]
+    assert "explode(sequence(" in nlj_tail, nlj_tail[:800]
+    # events attach to the grid via hash join
+    assert "BroadcastHashJoin" in text or "SortMergeJoin" in text, text

@@ -148,7 +148,9 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(array_length(embedding) AS INT) AS dim,
-           embedding[1:4] AS head4,
+           array_to_string(list_transform(embedding[1:4],
+               x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                              AS BIGINT) AS VARCHAR)), ',') AS head4,
            embedding[1] AS first_val,
            ROUND(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
@@ -160,7 +162,13 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/higher-order family over the embedding column: size,
-    slice, element access, transform+aggregate fold, filter."""
+    slice, element access, transform+aggregate fold, filter.
+
+    The float32 slice is serialized to floor-scaled-integer text at
+    the compare boundary (flatten-before-compare, §5.3 rules 4+7:
+    engine bridges disagree on array CONTAINERS — ndarray vs list —
+    and float→string formatting, while FLOOR(x*1e6+0.5) over the
+    exactly-widened float32 is identical IEEE arithmetic on both)."""
     t = load_tables(spark, sf_dir)
     e = F.col("embedding")
     sum_sq = F.aggregate(
@@ -168,10 +176,19 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
+    head4 = F.array_join(
+        F.transform(
+            F.slice(e, 1, 4),
+            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+        ),
+        ",",
+    )
     return t["embeddings"].select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.slice(e, 1, 4).alias("head4"),
+        head4.alias("head4"),
         F.element_at(e, 1).alias("first_val"),
         F.round(sum_sq, 4).alias("sum_sq"),
         F.array_max(e).alias("max_val"),
@@ -505,8 +522,10 @@ def q_fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[aeiou][a-z]{4,}'))
                AS BIGINT) AS n_matches,
-           list_slice(regexp_extract_all(lower(text), '[aeiou][a-z]{4,}'), 1, 3)
-               AS first_matches
+           COALESCE(array_to_string(
+               list_slice(regexp_extract_all(lower(text),
+                                             '[aeiou][a-z]{4,}'), 1, 3),
+               ','), '') AS first_matches
     FROM documents
     ORDER BY doc_id
     """,
@@ -520,12 +539,15 @@ def q_fn_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     Java regex (Spark) and RE2 (DuckDB) produce identical match sets
     (leftmost-earliest non-overlapping semantics agree for patterns
     without backtracking-dependent constructs).  Pure scan-side
-    expression — zero shuffles except the output sort.
+    expression — zero shuffles except the output sort.  The match
+    slice is comma-joined at the compare boundary
+    (flatten-before-compare, §5.3 rule 4; matches are [a-z]+ so the
+    separator cannot collide).
     """
     docs = load_tables(spark, sf_dir)["documents"]
     matches = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiou][a-z]{4,}"), 0)
     return docs.select(
         "doc_id",
         F.size(matches).cast("long").alias("n_matches"),
-        F.slice(matches, 1, 3).alias("first_matches"),
+        F.array_join(F.slice(matches, 1, 3), ",").alias("first_matches"),
     ).orderBy("doc_id")

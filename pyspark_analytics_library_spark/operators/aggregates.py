@@ -685,7 +685,8 @@ def q_agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list_distinct(list(c_mktsegment))) AS segments,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+               AS segments,
            CAST(COUNT(DISTINCT c_mktsegment) AS INT) AS n_segments
     FROM customer
     GROUP BY c_nationkey
@@ -697,13 +698,18 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set's order is partition-dependent, so the result is
     sort_array'd before it leaves the query — the only way an
     array-valued aggregate can be reproducible across cluster sizes
-    (same rule as any top-k tie-break, §5.3.3)."""
+    (same rule as any top-k tie-break, §5.3.3).  The sorted array is
+    comma-joined at the compare boundary (mm_struct_bundle's
+    flatten-before-compare discipline: engine bridges disagree on
+    container representation — ndarray vs list — not on values)."""
     t = load_tables(spark, sf_dir)
     return (
         t["customer"]
         .groupBy("c_nationkey")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
             F.countDistinct("c_mktsegment").cast("int").alias("n_segments"),
         )
         .orderBy("c_nationkey")

@@ -546,11 +546,15 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_centroid",
     oracle="""
     WITH p AS (
-        SELECT label, i, ROUND(AVG(embedding[i]), 6) AS v
+        SELECT label, i,
+               CAST(FLOOR(ROUND(AVG(embedding[i]), 6) * 1000000 + 0.5)
+                    AS BIGINT) AS v
         FROM embeddings, generate_series(1, 64) AS g(i)
         GROUP BY label, i
     )
-    SELECT label, COUNT(*) AS dim, list(v ORDER BY i) AS centroid
+    SELECT label, COUNT(*) AS dim,
+           array_to_string(list(CAST(v AS VARCHAR) ORDER BY i), ',')
+               AS centroid
     FROM p GROUP BY label ORDER BY label
     """,
 )
@@ -569,11 +573,22 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of one partial row per label) — the widened aggregate is
     the plan you want at 100 TB.  Nothing vector-sized ever reaches
     the driver.
+
+    The centroid vector is serialized to floor-scaled-integer text at
+    the compare boundary (flatten-before-compare, §5.3 rules 4+7 —
+    same discipline as fn_array's head4 and mm_struct_bundle: engine
+    bridges disagree on array containers and float→string formatting,
+    while FLOOR(x*1e6+0.5) over the 6dp-rounded average is identical
+    IEEE arithmetic on both engines).
     """
     emb = load_tables(spark, sf_dir)["embeddings"]
     dim = 64  # fixture embedding width (TESTDATA.md); helper param at API level
     per_dim_avgs = [
         F.round(F.avg(F.col("embedding")[i]), 6).alias(f"_c{i}") for i in range(dim)
+    ]
+    scaled = [
+        F.floor(F.col(f"_c{i}") * 1e6 + F.lit(0.5)).cast("long").cast("string")
+        for i in range(dim)
     ]
     return (
         emb.groupBy("label")
@@ -581,7 +596,7 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             F.lit(dim).cast("long").alias("dim"),
-            F.array(*[F.col(f"_c{i}") for i in range(dim)]).alias("centroid"),
+            F.array_join(F.array(*scaled), ",").alias("centroid"),
         )
         .orderBy("label")
     )

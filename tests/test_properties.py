@@ -224,7 +224,10 @@ def test_centroid_matches_numpy(spark):
         by_label.setdefault(r["label"], []).append(r["embedding"])
     for label, vecs in by_label.items():
         expected = np.mean(np.array(vecs, dtype=np.float64), axis=0)
-        assert np.abs(np.array(got[label]) - expected.round(6)).max() <= 1e-6
+        # centroid is serialized as floor(round(avg,6)*1e6+0.5) ints
+        # (flatten-before-compare); decode back to doubles to compare
+        decoded = np.array([int(v) for v in got[label].split(",")]) / 1e6
+        assert np.abs(decoded - expected.round(6)).max() <= 1e-6
 
 
 def test_cc_scratch_dir_conf_honored(spark, tmp_path):

@@ -151,11 +151,11 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_transform(embedding[1:4],
                x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5)
                               AS BIGINT) AS VARCHAR)), ',') AS head4,
-           embedding[1] AS first_val,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
            ROUND(list_sum(list_transform(embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS sum_sq,
-           list_aggregate(embedding, 'max') AS max_val,
-           list_aggregate(embedding, 'min') AS min_val,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+           CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS min_val,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive
     FROM embeddings
     """,
@@ -189,10 +189,10 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(e).alias("dim"),
         head4.alias("head4"),
-        F.element_at(e, 1).alias("first_val"),
+        F.element_at(e, 1).cast("double").alias("first_val"),
         F.round(sum_sq, 4).alias("sum_sq"),
-        F.array_max(e).alias("max_val"),
-        F.array_min(e).alias("min_val"),
+        F.array_max(e).cast("double").alias("max_val"),
+        F.array_min(e).cast("double").alias("min_val"),
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
     )
 

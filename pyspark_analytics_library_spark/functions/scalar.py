@@ -218,15 +218,31 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_map", tags=("rows-only",))  # DuckDB map[key] returns LIST — no parity
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_val,
+           'type,uid' AS keys,
+           2 AS n_entries
+    FROM events
+    """,
+)
 def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map construction + key/value access surface."""
+    """Map construction + key/value access surface.
+
+    Full oracle (upgraded from rows-only in round 5): the map is
+    built from two literal keys, so key access, key listing, and entry
+    count have closed-form relational values — the oracle verifies the
+    map-function RESULTS (DuckDB's map[k]-returns-LIST quirk only
+    blocked oracling the map expressions themselves).  The key array
+    is comma-joined per §5.3 rule 11."""
     t = load_tables(spark, sf_dir)
     m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("uid"), F.col("user_id").cast("string"))
     return t["events"].select(
         "event_id",
         m.getItem("type").alias("type_val"),
-        F.map_keys(m).alias("keys"),
+        F.array_join(F.map_keys(m), ",").alias("keys"),
         F.size(F.map_entries(m)).alias("n_entries"),
     )
 

@@ -130,10 +130,33 @@ def q_udf_gapply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udf_cogrouped", tags=("rows-only",))  # two-table per-key pandas fn
+@query(
+    "udf_cogrouped",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS k, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ), e AS (
+        SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY user_id
+    )
+    SELECT CAST(COALESCE(o.k, e.k) AS BIGINT) AS custkey,
+           CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(total_spend, 0.0) AS total_spend
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+)
 def q_udf_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas: per customer, join their orders stats
-    with their event stats in Python (pd.merge per key)."""
+    with their event stats in Python (pd.merge per key).
+
+    Full oracle (upgraded from rows-only in round 5): the per-key
+    pandas function computes deterministic counts + a 4dp-rounded sum,
+    exactly a FULL OUTER JOIN of the two per-key aggregates — the
+    oracle verifies the cogrouped result, not its mechanism.  Sum
+    magnitudes (~1e6 at sf0.1) keep summation-order noise far below
+    the 4dp rounding threshold (§5.3 rule 8)."""
     t = load_tables(spark, sf_dir)
 
     def summarize(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -212,10 +235,24 @@ def q_udaf_via_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udtf_table_fn", tags=("rows-only",))  # UDTF surface
+@query(
+    "udtf_table_fn",
+    oracle="""
+    SELECT doc_id, word, CAST(length(word) AS INT) AS word_len
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 20)
+    WHERE word <> ''
+    """,
+)
 def q_udtf_table_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF exploding each document into (word, length) rows
-    (lateral join over the table)."""
+    (lateral join over the table).
+
+    Full oracle (upgraded from rows-only in round 5): the UDTF is
+    deterministic — single-space split, empties dropped — so the
+    relational unnest computes the identical row set; the oracle
+    verifies the UDTF *result*, not its mechanism (same stance as the
+    udf_* CASE oracles)."""
     load_tables(spark, sf_dir)
 
     @F.udtf(returnType="word: string, word_len: int")

@@ -90,8 +90,18 @@ def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io_mod.scan_csv(spark, path, schema=schema, header=True)
 
 
-@query("scan_json_roundtrip", tags=("rows-only",))  # JSON type fidelity differs
+@query(
+    "scan_json_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON round-trip with explicit re-read schema.  Full oracle
+    (upgraded from rows-only in round 5): with the schema pinned on
+    read, int/string columns survive JSON text encoding losslessly —
+    the oracle compares against the SOURCE table, so writer+reader
+    must both preserve values exactly (same pattern as the
+    parquet/csv sinks above; only float columns would be at the mercy
+    of JSON number formatting, and none are on this surface)."""
     t = load_tables(spark, sf_dir)
     subset = t["nation"]
     path = _scratch("sink_json")
@@ -101,8 +111,12 @@ def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scan_orc_roundtrip", tags=("rows-only",))
+@query("scan_orc_roundtrip", oracle="SELECT r_regionkey, r_name FROM region")
 def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip.  Full oracle (upgraded from rows-only in round
+    5): ORC is a typed binary format, so the int/string region table
+    round-trips exactly; the oracle compares against the source
+    table."""
     t = load_tables(spark, sf_dir)
     path = _scratch("sink_orc")
     t["region"].write.mode("overwrite").orc(path)

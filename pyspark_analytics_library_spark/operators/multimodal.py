@@ -98,11 +98,35 @@ def q_mm_struct_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_decode_batch", tags=("rows-only",))  # decode lib stubbed (no libs here)
+@query(
+    "mm_decode_batch",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1 AS n1,
+               strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1 AS n2,
+               strpos('0123456789abcdef', substring(md5(text), 3, 1)) - 1 AS n3,
+               strpos('0123456789abcdef', substring(md5(text), 4, 1)) - 1 AS n4
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(64 + (n1 * 16 + n2) % 192 AS INT) AS width,
+           CAST(64 + (n3 * 16 + n4) % 192 AS INT) AS height
+    FROM h
+    """,
+)
 def q_mm_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decode/feature-extract stage: binary payloads → (width,
     height) metadata via mapInPandas.  Real Arrow batch plumbing; the
-    decoder itself is the deterministic stub above."""
+    decoder itself is the deterministic stub above.
+
+    Full oracle (upgraded from rows-only in round 5): the stub derives
+    (width, height) from the first two md5 digest bytes of the payload,
+    and DuckDB's md5 over the same UTF-8 bytes is hex-identical
+    (mm_binary_passthrough already leans on this), so the oracle
+    recomputes the digest bytes from the hex string — verifying the
+    whole mapInPandas decode path end-to-end, not just that it ran.
+    Swapping in a REAL decoder returns this query to rows-only."""
     t = load_tables(spark, sf_dir)
     src = t["documents"].select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")

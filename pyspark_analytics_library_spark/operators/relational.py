@@ -498,10 +498,17 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sort_within_partitions", tags=("rows-only",))  # physical-layout op
+@query(
+    "sort_within_partitions",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem",
+)
 def q_sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-local sort — a physical op (write-optimization for
-    clustered parquet); row content is unchanged, so rows-only."""
+    clustered parquet).  Full oracle (upgraded from rows-only in round
+    5): only the ORDER is partition-dependent; the row multiset is the
+    source projection unchanged, and the driver's compare is
+    order-insensitive — so the oracle verifies the op lost/duplicated
+    nothing, which is exactly its contract."""
     t = load_tables(spark, sf_dir)
     return t["lineitem"].sortWithinPartitions("l_orderkey").select(
         "l_orderkey", "l_linenumber"

@@ -191,3 +191,16 @@ def test_lineitem_shipdate_drift_normalizes_to_ntz(spark, tmp_path, encoding):
     assert got == ts_us
     # A date comparison — what every TPC-H composite does — must work.
     assert df.filter(F.col("l_shipdate") < "2022-03-02").count() == 1
+
+
+def test_missing_sf_dir_fails_eagerly_with_path_error(spark):
+    """A wrong sf_dir must fail AT LOAD with the offending path in the
+    message — not lazily at first action N stages into a pipeline
+    (load_tables touches every table's footer up front)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    with pytest.raises(AnalysisException, match="sf_does_not_exist"):
+        load_tables(spark, "/root/testdata/sf_does_not_exist")

@@ -92,10 +92,25 @@ def build_index(spark: SparkSession, e: DataFrame, max_bytes: int | None = None)
         )
     pdf = e.toPandas()
     ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    if len(pdf):
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= _safe_norm(mat)
+    else:
+        # Empty corpus (a filter matched nothing): a (0, d) matrix keeps
+        # every kernel shape-valid and searches yield zero pairs, instead
+        # of np.stack dying on "need at least one array to stack".
+        mat = np.zeros((0, max(dim, 0)), dtype=np.float64)
     labels = pdf["label"].to_numpy() if "label" in pdf.columns else None
     return spark.sparkContext.broadcast((ids, mat, labels))
+
+
+def _safe_norm(m: "np.ndarray") -> "np.ndarray":
+    """Row L2 norms with zeros mapped to 1: an all-zero embedding has no
+    direction, so it keeps cosine 0 with everything rather than
+    poisoning the score matrix with NaNs (fixtures contain no zero
+    vectors — this guards user data)."""
+    norm = np.linalg.norm(m, axis=1, keepdims=True)
+    return np.where(norm == 0.0, 1.0, norm)
 
 
 def brute_topk(e: DataFrame, bc, k: int = 5, with_labels: bool = False) -> DataFrame:
@@ -108,6 +123,8 @@ def brute_topk(e: DataFrame, bc, k: int = 5, with_labels: bool = False) -> DataF
     def gen(batches):
         ids_b, M, labels = bc.value
         n = len(ids_b)
+        if n == 0:  # empty index: no neighbor exists for any query row
+            return
         kk = min(k, n - 1)
         # Composite key: rounded cos desc, id asc.  Rounded cosines sit
         # on a 1e-6 grid; id·eps (eps·max_rank ≪ 1e-6) encodes the
@@ -118,7 +135,7 @@ def brute_topk(e: DataFrame, bc, k: int = 5, with_labels: bool = False) -> DataF
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            A /= _safe_norm(A)
             S = np.round(A @ M.T, 6)
             a_ids = pdf["vec_id"].to_numpy()
             S[a_ids[:, None] == ids_b[None, :]] = -np.inf  # exclude self
@@ -150,7 +167,7 @@ def brute_threshold_pairs(e: DataFrame, bc, tau: float) -> DataFrame:
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            A /= _safe_norm(A)
             S = np.round(A @ M.T, 6)
             a_ids = pdf["vec_id"].to_numpy()
             mask = (S > tau) & (a_ids[:, None] < ids_b[None, :])
@@ -352,7 +369,7 @@ def _assign_cells(C: np.ndarray, nprobe: int):
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            A /= _safe_norm(A)
             cells = np.argsort(-(A @ C.T), axis=1)[:, :nprobe]
             yield pd.DataFrame(
                 {

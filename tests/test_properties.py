@@ -418,3 +418,30 @@ def test_ngram_prefix_filter_lossless_across_thresholds(spark):
             map(tuple, ngram_jaccard_pairs(docs, tau=tau, prefix_filter=True).collect())
         )
         assert plain == filtered, f"tau={tau}"
+
+
+def test_similarity_kernel_degenerate_inputs(spark):
+    """Empty corpora and zero vectors must degrade gracefully: an empty
+    index yields zero pairs/neighbors (not a numpy stack crash — the
+    shape a filter-matched-nothing pipeline produces), and an all-zero
+    embedding scores cosine 0 instead of NaN-poisoning the matrix."""
+    from pyspark_analytics_library_spark.operators.similarity import (
+        build_index,
+        brute_threshold_pairs,
+        brute_topk,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    idx = build_index(spark, empty)
+    assert brute_threshold_pairs(empty, idx, tau=0.5).count() == 0
+    assert brute_topk(empty, idx, k=3).count() == 0
+
+    # single row: only neighbor is itself (excluded) -> zero rows
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    assert brute_topk(one, build_index(spark, one), k=3).count() == 0
+
+    withzero = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = brute_threshold_pairs(withzero, build_index(spark, withzero), tau=-1.0).collect()
+    assert [(r["id_a"], r["id_b"], r["cos"]) for r in rows] == [(1, 2, 0.0)]

@@ -27,4 +27,13 @@ def ensure_column(c: str | Column) -> Column:
 
 
 def ensure_columns(cols) -> list[Column]:
+    """Coerce a name/Column OR a sequence of them to a list of Columns.
+
+    A bare string counts as ONE column, never as an iterable of
+    characters: ``orderBy(*"ts")`` silently orders by columns ``t`` and
+    ``s`` when those happen to exist — the Python
+    string-is-iterable foot-gun — and errors confusingly when they
+    don't."""
+    if isinstance(cols, (str, Column)):
+        return [ensure_column(cols)]
     return [ensure_column(c) for c in cols]

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_analytics_library_spark.functions.coercion import ensure_column
+from pyspark_analytics_library_spark.functions.coercion import (
+    ensure_column,
+    ensure_columns,
+)
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -23,8 +26,10 @@ def topk_per_group(
     df: DataFrame, keys: list[str], order: list[Column], k: int
 ) -> DataFrame:
     """Top-k rows per group via row_number ≤ k.  ``order`` must be a
-    total order (append a unique key) for cross-engine determinism."""
-    w = Window.partitionBy(*keys).orderBy(*order)
+    total order (append a unique key) for cross-engine determinism.
+    ``keys``/``order`` accept a single name/Column or a sequence
+    (ensure_columns guards the string-iteration foot-gun)."""
+    w = Window.partitionBy(*ensure_columns(keys)).orderBy(*ensure_columns(order))
     return df.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= k
     )
@@ -33,7 +38,7 @@ def topk_per_group(
 def lag_lead(
     df: DataFrame, keys: list[str], order: list[str], value: str | Column
 ) -> DataFrame:
-    w = Window.partitionBy(*keys).orderBy(*order)
+    w = Window.partitionBy(*ensure_columns(keys)).orderBy(*ensure_columns(order))
     v = ensure_column(value)
     return df.withColumn("lag_value", F.lag(v).over(w)).withColumn(
         "lead_value", F.lead(v).over(w)

@@ -445,3 +445,25 @@ def test_similarity_kernel_degenerate_inputs(spark):
     )
     rows = brute_threshold_pairs(withzero, build_index(spark, withzero), tau=-1.0).collect()
     assert [(r["id_a"], r["id_b"], r["cos"]) for r in rows] == [(1, 2, 0.0)]
+
+
+def test_ensure_columns_treats_bare_string_as_one_column(spark):
+    """A bare string argument is ONE column, never an iterable of
+    characters: orderBy(*"ts") would silently order by columns t and s
+    where those exist, or fail confusingly where they don't."""
+    from pyspark.sql import functions as F
+
+    import pyspark_analytics_library_spark as p
+    from pyspark_analytics_library_spark.functions.coercion import ensure_columns
+
+    assert len(ensure_columns("ts")) == 1
+    assert len(ensure_columns(F.col("ts"))) == 1
+    assert len(ensure_columns(["a", "b"])) == 2
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0)], "user_id long, value double"
+    )
+    # scalar args end-to-end through the window helpers
+    assert p.topk_per_group(df, "user_id", F.col("value").desc(), 1).count() == 1
+    out = p.lag_lead(df, "user_id", "value", "value").orderBy("value").collect()
+    assert [r["lag_value"] for r in out] == [None, 10.0]

@@ -24,6 +24,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_analytics_library_spark.functions.coercion import ensure_columns
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -56,7 +57,7 @@ def dedup_exact_keep_min(
     row_number formulation).
     """
     other = [c for c in df.columns if c not in group_cols and c != order_col]
-    return df.groupBy(*group_cols).agg(
+    return df.groupBy(*ensure_columns(group_cols)).agg(
         F.min(order_col).alias(order_col),
         *[F.min_by(c, order_col).alias(c) for c in other],
         F.count(F.lit(1)).alias("n_dupes"),

@@ -30,6 +30,7 @@ import tempfile
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_analytics_library_spark.functions.coercion import ensure_columns
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -55,10 +56,10 @@ def salted_sum_count(
     aggregates (median) need the sketch path instead (SCALE.md)."""
     partial = (
         df.withColumn("_salt", salt_column(unique_col, buckets))
-        .groupBy(*keys, "_salt")
+        .groupBy(*ensure_columns(keys), "_salt")
         .agg(F.sum(value).alias("_s"), F.count(F.lit(1)).alias("_c"))
     )
-    return partial.groupBy(*keys).agg(
+    return partial.groupBy(*ensure_columns(keys)).agg(
         F.sum("_s").alias(f"sum_{value}"), F.sum("_c").alias("n_rows")
     )
 

@@ -280,6 +280,9 @@ def sink_parquet(
     fact tables (partition by a low-cardinality time bucket)."""
     writer = df.write.mode(mode)
     if partition_by:
+        # a bare name is ONE partition column, not characters
+        if isinstance(partition_by, str):
+            partition_by = [partition_by]
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
 

@@ -26,6 +26,18 @@ def ensure_column(c: str | Column) -> Column:
     raise TypeError(f"expected column name or Column, got {type(c).__name__}: {c!r}")
 
 
+def scaled_int_text(c: str | Column) -> Column:
+    """SURVEY §5.3 rule 11's float serializer, as ONE definition: a
+    float compare-column becomes ``FLOOR(x*1e6 + 0.5)`` scaled-integer
+    TEXT — identical IEEE arithmetic on Spark and DuckDB (rule 7's
+    half-up form), immune to the engines' float→string formatting and
+    float32-widening differences.  Matching oracle SQL:
+    ``CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS
+    VARCHAR)``."""
+    x = ensure_column(c).cast("double")
+    return F.floor(x * 1e6 + F.lit(0.5)).cast("long").cast("string")
+
+
 def ensure_columns(cols) -> list[Column]:
     """Coerce a name/Column OR a sequence of them to a list of Columns.
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark_analytics_library_spark.functions.coercion import scaled_int_text
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -176,15 +177,7 @@ def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x * x,
     )
-    head4 = F.array_join(
-        F.transform(
-            F.slice(e, 1, 4),
-            lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5))
-            .cast("long")
-            .cast("string"),
-        ),
-        ",",
-    )
+    head4 = F.array_join(F.transform(F.slice(e, 1, 4), scaled_int_text), ",")
     return t["embeddings"].select(
         "vec_id",
         F.size(e).alias("dim"),

@@ -24,7 +24,6 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_analytics_library_spark.functions.coercion import ensure_columns
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -55,9 +54,23 @@ def dedup_exact_keep_min(
     ``min_by`` carries the keeper's non-key columns (deterministic here
     because ``order_col`` is unique per group, same contract as the
     row_number formulation).
+
+    ``group_cols`` takes column NAMES (one or a list — the helper must
+    compute the complement column set, which Column expressions cannot
+    name); a bare string is one column, not characters.
     """
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    if isinstance(group_cols, Column) or any(
+        not isinstance(c, str) for c in group_cols
+    ):
+        raise TypeError(
+            "dedup_exact_keep_min needs column NAMES for group_cols "
+            "(it derives the carried-column set from df.columns), got "
+            f"{group_cols!r}"
+        )
     other = [c for c in df.columns if c not in group_cols and c != order_col]
-    return df.groupBy(*ensure_columns(group_cols)).agg(
+    return df.groupBy(*group_cols).agg(
         F.min(order_col).alias(order_col),
         *[F.min_by(c, order_col).alias(c) for c in other],
         F.count(F.lit(1)).alias("n_dupes"),

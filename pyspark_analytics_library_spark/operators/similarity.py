@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_analytics_library_spark.functions.coercion import scaled_int_text
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -96,9 +97,10 @@ def build_index(spark: SparkSession, e: DataFrame, max_bytes: int | None = None)
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         mat /= _safe_norm(mat)
     else:
-        # Empty corpus (a filter matched nothing): a (0, d) matrix keeps
-        # every kernel shape-valid and searches yield zero pairs, instead
-        # of np.stack dying on "need at least one array to stack".
+        # Empty corpus (a filter matched nothing): dim probes 0 here, so
+        # this is a (0, 0) matrix — every kernel early-returns on the
+        # empty index (len(ids) == 0) BEFORE touching shapes, instead of
+        # np.stack dying on "need at least one array to stack".
         mat = np.zeros((0, max(dim, 0)), dtype=np.float64)
     labels = pdf["label"].to_numpy() if "label" in pdf.columns else None
     return spark.sparkContext.broadcast((ids, mat, labels))
@@ -163,6 +165,8 @@ def brute_threshold_pairs(e: DataFrame, bc, tau: float) -> DataFrame:
 
     def gen(batches):
         ids_b, M, _ = bc.value
+        if len(ids_b) == 0:  # empty index: no pair can exist; M is (0, 0)
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -603,10 +607,7 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dim_avgs = [
         F.round(F.avg(F.col("embedding")[i]), 6).alias(f"_c{i}") for i in range(dim)
     ]
-    scaled = [
-        F.floor(F.col(f"_c{i}") * 1e6 + F.lit(0.5)).cast("long").cast("string")
-        for i in range(dim)
-    ]
+    scaled = [scaled_int_text(f"_c{i}") for i in range(dim)]
     return (
         emb.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vecs"), *per_dim_avgs)

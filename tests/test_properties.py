@@ -435,6 +435,14 @@ def test_similarity_kernel_degenerate_inputs(spark):
     idx = build_index(spark, empty)
     assert brute_threshold_pairs(empty, idx, tau=0.5).count() == 0
     assert brute_topk(empty, idx, k=3).count() == 0
+    # NON-empty queries against the empty index: the (0, 0) broadcast
+    # matrix must never reach the matmul (shape (m, 64) @ (64, 0) only
+    # works when d matches; the kernels early-return on len(ids) == 0)
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    assert brute_threshold_pairs(queries, idx, tau=-1.0).count() == 0
+    assert brute_topk(queries, idx, k=3).count() == 0
 
     # single row: only neighbor is itself (excluded) -> zero rows
     one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
@@ -467,3 +475,27 @@ def test_ensure_columns_treats_bare_string_as_one_column(spark):
     assert p.topk_per_group(df, "user_id", F.col("value").desc(), 1).count() == 1
     out = p.lag_lead(df, "user_id", "value", "value").orderBy("value").collect()
     assert [r["lag_value"] for r in out] == [None, 10.0]
+
+
+def test_dedup_keep_min_scalar_group_and_name_contract(spark):
+    """A bare-string group key must behave as ONE column even when other
+    column names contain it as a substring ('id' in 'user_id' is True —
+    the `in` test that breaks carried-column selection), and Column
+    expressions are rejected eagerly (the helper derives the carried set
+    from df.columns, which an expression cannot name)."""
+    from pyspark.sql import functions as F
+
+    import pyspark_analytics_library_spark as p
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 20, "x")], "user_id long, id long, tag string"
+    )
+    out = p.dedup_exact_keep_min(df, "user_id", "id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_id"], r["id"], r["tag"], r["n_dupes"]) == (1, 10, "x", 2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="column NAMES"):
+        p.dedup_exact_keep_min(df, F.col("user_id"), "id")

@@ -38,7 +38,17 @@ WHITELIST = {
     "operators/graph.py": 2,
 }
 
-_CALL = re.compile(r"\.(?:collect|toPandas)\(\)")
+#: every DataFrame → driver materialization spelling, not just the two
+#: common ones: toLocalIterator/first/take/head pull rows to the driver
+#: just as surely as collect (none are currently used — count 0 keeps
+#: them out of the whitelist until someone consciously adds one).
+#: ``.first()`` matches only the no-arg DataFrame action — F.first(col)
+#: is the window aggregate, worker-side.  A worker-side pandas
+#: .head(n)/.take(n) inside a UDF would false-positive here; that is
+#: deliberate — it forces a whitelist entry with a justifying comment.
+_CALL = re.compile(
+    r"\.(?:collect|toPandas|toLocalIterator|first)\(\)|\.(?:take|head)\("
+)
 _PYUDF = re.compile(r"\bF\.udf\(")
 
 

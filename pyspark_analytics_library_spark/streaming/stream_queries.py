@@ -127,6 +127,26 @@ def _assert_stream_covers_events(
         )
 
 
+def _assert_stream_matches_batch(
+    result: DataFrame, batch: DataFrame, what: str
+) -> None:
+    """Embedded FULL result-set parity with the batch twin (stronger
+    than the event-count check): a complete-mode availableNow run over
+    the single-file fixture source processes everything in one batch —
+    no late-drops are possible — so the stream result must EQUAL the
+    identical aggregation computed in batch.  Both sides are
+    group-count-sized (≤ ~10k rows); the compare is two small collects.
+    A driver rows-only green then attests exact stream semantics, not
+    just that a job ran."""
+    got = sorted(map(tuple, result.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    if got != want:
+        raise AssertionError(
+            f"{what}: stream result diverges from its batch twin "
+            f"({len(got)} vs {len(want)} rows)"
+        )
+
+
 @query("stream_tumbling", tags=("rows-only", "streaming"))
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type counts in 1-hour tumbling windows, 10-min
@@ -139,6 +159,13 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
     name, s = run_to_memory(agg, "complete")
+    batch = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    _assert_stream_matches_batch(s.table(name), batch, "stream_tumbling")
     return s.table(name)
 
 
@@ -153,6 +180,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
     name, s = run_to_memory(agg, "complete")
+    batch = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+    _assert_stream_matches_batch(s.table(name), batch, "stream_sliding")
     return s.table(name)
 
 
@@ -173,6 +207,18 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name, s = run_to_memory(agg, "complete")
+    batch = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    _assert_stream_matches_batch(s.table(name), batch, "stream_session")
     return s.table(name)
 
 
@@ -247,6 +293,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = doubled.dropDuplicatesWithinWatermark(["event_id"])
     agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     name, s = run_to_memory(agg, "complete")
+    # deduped double-stream == the original event set, exactly
+    batch = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _assert_stream_matches_batch(s.table(name), batch, "stream_dedup")
     return s.table(name)
 
 
@@ -361,6 +414,16 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name, s = run_to_memory(agg, "complete")
+    batch = (
+        load_tables(spark, sf_dir, register_views=False)["events"]
+        .join(static, "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("lifetime_events").alias("max_lifetime"),
+        )
+    )
+    _assert_stream_matches_batch(s.table(name), batch, "stream_static_join")
     return s.table(name)
 
 
@@ -399,12 +462,31 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
     name, s = run_to_memory(joined, "append")
-    return (
+    result = (
         s.table(name)
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
         .orderBy("user_id")
     )
+    ev_b = load_tables(spark, sf_dir, register_views=False)["events"]
+    cb = ev_b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pb = ev_b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        cb.join(
+            pb,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+    )
+    _assert_stream_matches_batch(result, batch, "stream_stream_join")
+    return result
 
 
 @query("stream_foreach_batch", tags=("rows-only", "streaming"))

@@ -15,17 +15,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark_analytics_library_spark.functions.coercion import ensure_columns
 from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
 
 def tumbling_agg(df: DataFrame, ts: str, keys: list[str], window: str = "1 hour") -> DataFrame:
     """Tumbling-window aggregation via F.window (epoch-aligned buckets,
-    identical alignment to DuckDB's time_bucket)."""
+    identical alignment to DuckDB's time_bucket).  ``keys`` accepts a
+    single name/Column or a sequence (coercion guards the
+    string-iteration foot-gun)."""
+    key_cols = ensure_columns(keys)
     return (
-        df.groupBy(F.window(ts, window).alias("w"), *keys)
+        df.groupBy(F.window(ts, window).alias("w"), *key_cols)
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "total_value")
+        .select(F.col("w.start").alias("window_start"), *key_cols, "n_events", "total_value")
     )
 
 

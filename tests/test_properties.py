@@ -475,6 +475,13 @@ def test_ensure_columns_treats_bare_string_as_one_column(spark):
     assert p.topk_per_group(df, "user_id", F.col("value").desc(), 1).count() == 1
     out = p.lag_lead(df, "user_id", "value", "value").orderBy("value").collect()
     assert [r["lag_value"] for r in out] == [None, 10.0]
+    # ...and through tumbling_agg, whose SELECT also re-emits the keys
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "c", 1.0)],
+        "user_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = p.tumbling_agg(ev, "ts", "event_type").collect()
+    assert [(x["event_type"], x["n_events"]) for x in r] == [("c", 1)]
 
 
 def test_dedup_keep_min_scalar_group_and_name_contract(spark):

@@ -12,7 +12,7 @@ materialization until the final groupBy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.functions.coercion import ensure_columns
@@ -20,11 +20,18 @@ from pyspark_analytics_library_spark.registry import query
 from pyspark_analytics_library_spark.sources.io import load_tables
 
 
-def tumbling_agg(df: DataFrame, ts: str, keys: list[str], window: str = "1 hour") -> DataFrame:
+def tumbling_agg(
+    df: DataFrame,
+    ts: str,
+    keys: str | Column | list[str | Column],
+    window: str = "1 hour",
+) -> DataFrame:
     """Tumbling-window aggregation via F.window (epoch-aligned buckets,
     identical alignment to DuckDB's time_bucket).  ``keys`` accepts a
-    single name/Column or a sequence (coercion guards the
-    string-iteration foot-gun)."""
+    single name or a sequence (coercion guards the string-iteration
+    foot-gun); plain column references only — the grouped SELECT
+    re-emits the keys against the aggregated schema, where a computed
+    expression's inputs no longer exist."""
     key_cols = ensure_columns(keys)
     return (
         df.groupBy(F.window(ts, window).alias("w"), *key_cols)

@@ -23,7 +23,10 @@ from pyspark_analytics_library_spark.sources.io import load_tables
 
 
 def topk_per_group(
-    df: DataFrame, keys: list[str], order: list[Column], k: int
+    df: DataFrame,
+    keys: str | Column | list[str | Column],
+    order: Column | list[Column],
+    k: int,
 ) -> DataFrame:
     """Top-k rows per group via row_number ≤ k.  ``order`` must be a
     total order (append a unique key) for cross-engine determinism.
@@ -36,7 +39,10 @@ def topk_per_group(
 
 
 def lag_lead(
-    df: DataFrame, keys: list[str], order: list[str], value: str | Column
+    df: DataFrame,
+    keys: str | Column | list[str | Column],
+    order: str | Column | list[str | Column],
+    value: str | Column,
 ) -> DataFrame:
     w = Window.partitionBy(*ensure_columns(keys)).orderBy(*ensure_columns(order))
     v = ensure_column(value)

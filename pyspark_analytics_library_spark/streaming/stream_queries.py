@@ -105,8 +105,14 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     q.stop()
+    if not finished:
+        # A partial sink would surface downstream as a bogus
+        # "diverges from batch twin" parity failure — fail as what it is.
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_s}s"
+        )
     return name, df.sparkSession
 
 
@@ -127,6 +133,25 @@ def _assert_stream_covers_events(
         )
 
 
+#: Parity self-checks collect both result sets; above this many rows
+#: the check SKIPS instead of pulling an input-scaled result through
+#: the driver (the check is a fixture-scale attestation feature — at
+#: 100 TB the query must not crash its own driver to prove itself).
+_PARITY_CAP = 200_000
+
+
+def _cells_match(a, b) -> bool:
+    """Exact for everything except floats: stream and batch partials
+    add doubles in different orders, so a float cell near a rounding
+    boundary can legitimately differ in the last representable step —
+    the same hazard class §5.3 rule 8 handles for oracles."""
+    if isinstance(a, float) and isinstance(b, float):
+        import math
+
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-3)
+    return a == b
+
+
 def _assert_stream_matches_batch(
     result: DataFrame, batch: DataFrame, what: str
 ) -> None:
@@ -134,13 +159,23 @@ def _assert_stream_matches_batch(
     than the event-count check): a complete-mode availableNow run over
     the single-file fixture source processes everything in one batch —
     no late-drops are possible — so the stream result must EQUAL the
-    identical aggregation computed in batch.  Both sides are
-    group-count-sized (≤ ~10k rows); the compare is two small collects.
-    A driver rows-only green then attests exact stream semantics, not
-    just that a job ran."""
-    got = sorted(map(tuple, result.collect()))
-    want = sorted(map(tuple, batch.collect()))
-    if got != want:
+    identical aggregation computed in batch.  A driver rows-only green
+    then attests exact stream semantics, not just that a job ran.
+
+    Both collects are bounded by _PARITY_CAP (limit-probed, no extra
+    count job): past the cap the check skips — it exists to attest
+    fixture-scale semantics, not to materialize production results."""
+    got_rows = result.limit(_PARITY_CAP + 1).collect()
+    if len(got_rows) > _PARITY_CAP:
+        return
+    want_rows = batch.limit(_PARITY_CAP + 1).collect()
+    got = sorted(map(tuple, got_rows))
+    want = sorted(map(tuple, want_rows))
+    ok = len(got) == len(want) and all(
+        all(_cells_match(x, y) for x, y in zip(g, w))
+        for g, w in zip(got, want)
+    )
+    if not ok:
         raise AssertionError(
             f"{what}: stream result diverges from its batch twin "
             f"({len(got)} vs {len(want)} rows)"
@@ -150,21 +185,23 @@ def _assert_stream_matches_batch(
 @query("stream_tumbling", tags=("rows-only", "streaming"))
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type counts in 1-hour tumbling windows, 10-min
-    watermark.  Batch twin with full oracle: ts_tumbling_batch."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
-    name, s = run_to_memory(agg, "complete")
-    batch = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
+    watermark.  Batch twin with full oracle: ts_tumbling_batch.
+
+    The aggregation shape is ONE closure applied to both the
+    watermarked stream and the batch table, so the parity twins cannot
+    drift apart by hand-editing one side (same pattern in all six
+    parity-checked streaming queries)."""
+
+    def shape(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    name, s = run_to_memory(shape(ev), "complete")
+    batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
     _assert_stream_matches_batch(s.table(name), batch, "stream_tumbling")
     return s.table(name)
 
@@ -172,20 +209,20 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_sliding", tags=("rows-only", "streaming"))
 def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour windows sliding every 15 minutes (each event lands in 4)."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
-    name, s = run_to_memory(agg, "complete")
-    batch = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-    )
+
+    def shape(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        )
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    name, s = run_to_memory(shape(ev), "complete")
+    batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
     _assert_stream_matches_batch(s.table(name), batch, "stream_sliding")
     return s.table(name)
 
@@ -194,30 +231,21 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) per user — the streaming
     counterpart of ts_sessionize (which carries the batch oracle)."""
-    ev = stream_events(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "user_id",
-            "n_events",
+    def shape(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "user_id",
+                "n_events",
+            )
         )
-    )
-    name, s = run_to_memory(agg, "complete")
-    batch = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("sw.start").alias("session_start"),
-            F.col("sw.end").alias("session_end"),
-            "user_id",
-            "n_events",
-        )
-    )
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
+    name, s = run_to_memory(shape(ev), "complete")
+    batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
     _assert_stream_matches_batch(s.table(name), batch, "stream_session")
     return s.table(name)
 
@@ -288,17 +316,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup within watermark: the input is the event stream
     unioned with itself (every row a duplicate);
     dropDuplicatesWithinWatermark must collapse the copies."""
+    def shape(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+
     ev = stream_events(spark, sf_dir)
     doubled = ev.union(ev).withWatermark("ts", "1 hour")
     dedup = doubled.dropDuplicatesWithinWatermark(["event_id"])
-    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    name, s = run_to_memory(agg, "complete")
+    name, s = run_to_memory(shape(dedup), "complete")
     # deduped double-stream == the original event set, exactly
-    batch = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
     _assert_stream_matches_batch(s.table(name), batch, "stream_dedup")
     return s.table(name)
 
@@ -399,31 +425,25 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py checks parity against the all-batch twin.
     """
     ev = stream_events(spark, sf_dir)
-    static = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("lifetime_events"))
+    batch_events = load_tables(spark, sf_dir, register_views=False)["events"]
+    static = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events")
     )
-    agg = (
-        ev.join(static, "user_id")
-        .withWatermark("ts", "10 minutes")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("lifetime_events").alias("max_lifetime"),
+
+    def shape(df: DataFrame) -> DataFrame:
+        return (
+            df.join(static, "user_id")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("lifetime_events").alias("max_lifetime"),
+            )
         )
+
+    name, s = run_to_memory(shape(ev.withWatermark("ts", "10 minutes")), "complete")
+    _assert_stream_matches_batch(
+        s.table(name), shape(batch_events), "stream_static_join"
     )
-    name, s = run_to_memory(agg, "complete")
-    batch = (
-        load_tables(spark, sf_dir, register_views=False)["events"]
-        .join(static, "user_id")
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.max("lifetime_events").alias("max_lifetime"),
-        )
-    )
-    _assert_stream_matches_batch(s.table(name), batch, "stream_static_join")
     return s.table(name)
 
 
@@ -439,53 +459,38 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-user pairing count (batch rollup over the sink table, so
     the result is deterministic and small).
     """
-    clicks = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "click")
-        .select(
+    def sides(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        clicks = df.filter(F.col("event_type") == "click").select(
             F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
         )
-        .withWatermark("c_ts", "1 hour")
-    )
-    purchases = (
-        stream_events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .select(
+        purchases = df.filter(F.col("event_type") == "purchase").select(
             F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
         )
-        .withWatermark("p_ts", "1 hour")
-    )
-    joined = clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
-    )
-    name, s = run_to_memory(joined, "append")
-    result = (
-        s.table(name)
-        .groupBy(F.col("c_user").alias("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
-        .orderBy("user_id")
-    )
-    ev_b = load_tables(spark, sf_dir, register_views=False)["events"]
-    cb = ev_b.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
-    )
-    pb = ev_b.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
-    )
-    batch = (
-        cb.join(
-            pb,
+        return clicks, purchases
+
+    def join_and_rollup(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+        return clicks.join(
+            purchases,
             (F.col("c_user") == F.col("p_user"))
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         )
-        .groupBy(F.col("c_user").alias("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_click_purchase_pairs"))
+
+    def rollup(joined: DataFrame) -> DataFrame:
+        return joined.groupBy(F.col("c_user").alias("user_id")).agg(
+            F.count(F.lit(1)).alias("n_click_purchase_pairs")
+        )
+
+    sc, sp = sides(stream_events(spark, sf_dir))
+    joined = join_and_rollup(
+        sc.withWatermark("c_ts", "1 hour"), sp.withWatermark("p_ts", "1 hour")
     )
-    _assert_stream_matches_batch(result, batch, "stream_stream_join")
+    name, s = run_to_memory(joined, "append")
+    result = rollup(s.table(name)).orderBy("user_id")
+    bc_, bp_ = sides(load_tables(spark, sf_dir, register_views=False)["events"])
+    _assert_stream_matches_batch(
+        result, rollup(join_and_rollup(bc_, bp_)), "stream_stream_join"
+    )
     return result
 
 

@@ -140,3 +140,32 @@ def test_stream_foreach_batch_matches_batch_totals(spark):
     got = [(r["event_type"], r["n_events"], round(r["total_value"], 3)) for r in stream.collect()]
     want = [(r["event_type"], r["n_events"], round(r["total_value"], 3)) for r in batch.collect()]
     assert got == want
+
+
+def test_parity_check_skips_past_the_cap(spark):
+    """_assert_stream_matches_batch must SKIP (not collect-and-compare,
+    not raise) when the result exceeds _PARITY_CAP — the check attests
+    fixture-scale semantics and must never pull an input-scaled result
+    through the driver of a production job."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _PARITY_CAP,
+        _assert_stream_matches_batch,
+    )
+
+    big = spark.range(_PARITY_CAP + 10).select(F.col("id"))
+    # deliberately DIFFERENT second side: past the cap the check skips,
+    # so no AssertionError may surface even though the sides diverge
+    other = spark.range(5).select(F.col("id"))
+    _assert_stream_matches_batch(big, other, "cap-probe")
+
+    # under the cap the same divergence must raise
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="diverges"):
+        _assert_stream_matches_batch(
+            spark.range(5).select(F.col("id")),
+            spark.range(6).select(F.col("id")),
+            "small-probe",
+        )

@@ -506,3 +506,29 @@ def test_dedup_keep_min_scalar_group_and_name_contract(spark):
 
     with _pytest.raises(TypeError, match="column NAMES"):
         p.dedup_exact_keep_min(df, F.col("user_id"), "id")
+
+
+def test_scaled_int_text_matches_its_documented_duckdb_form(spark):
+    """scaled_int_text's docstring promises a specific DuckDB-equivalent
+    SQL form; pin the equivalence on boundary-ish values (zeros,
+    negative halves, sub-resolution magnitudes) so an edit to either
+    side of rule 11 breaks a test, not an oracle at driver time."""
+    import duckdb
+
+    from pyspark_analytics_library_spark.functions.coercion import scaled_int_text
+
+    vals = [0.0, -0.0, 0.1234565, -0.2580379845, 1.0, -1.5e-7, 123456.789, -2.5e-7]
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, x double"
+    )
+    got = {r["i"]: r["s"] for r in df.select("i", scaled_int_text("x").alias("s")).collect()}
+    con = duckdb.connect()
+    want = {
+        i: con.execute(
+            "SELECT CAST(CAST(FLOOR(CAST(? AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS VARCHAR)",
+            [v],
+        ).fetchone()[0]
+        for i, v in enumerate(vals)
+    }
+    assert got == want

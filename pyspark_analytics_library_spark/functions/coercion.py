@@ -33,7 +33,15 @@ def scaled_int_text(c: str | Column) -> Column:
     half-up form), immune to the engines' float→string formatting and
     float32-widening differences.  Matching oracle SQL:
     ``CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS
-    VARCHAR)``."""
+    VARCHAR)``.
+
+    PRECONDITION: finite inputs only (NULL is fine).  On NaN/±Inf the
+    engines DIVERGE — Spark's ``cast('long')`` yields NULL where
+    DuckDB's ``CAST(FLOOR(…) AS BIGINT)`` raises — so a query putting
+    user-controlled floats on the compare surface must filter or
+    ``nanvl`` them first.  Every current caller serializes a rounded
+    aggregate of finite fixture data, where the precondition holds by
+    construction."""
     x = ensure_column(c).cast("double")
     return F.floor(x * 1e6 + F.lit(0.5)).cast("long").cast("string")
 

@@ -225,9 +225,11 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(t["documents"])
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="""
+#: Shared by dedup_ngram_jaccard and its prefix-filtered variant: the
+#: filter is LOSSLESS (every τ-qualifying pair must collide inside both
+#: frequency-ordered prefixes), so both declared queries verify against
+#: the identical unblocked DuckDB oracle.
+_NGRAM_JACCARD_ORACLE = """
     WITH t AS (
         SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
     ), u AS (
@@ -251,16 +253,29 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
     FROM pairs
     WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.2
-    """,
-)
+    """
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact pairwise 3-shingle Jaccard within language — see
     :func:`ngram_jaccard_pairs`.  The declared query keeps
-    ``prefix_filter`` OFF so results stay byte-exact vs the unblocked
-    oracle at fixture scale; a property test asserts the filtered
-    variant returns the identical pair set."""
+    ``prefix_filter`` OFF: this row attests the plain inverted-index
+    join; the filtered web-scale path is declared separately below."""
     t = load_tables(spark, sf_dir)
     return ngram_jaccard_pairs(t["documents"])
+
+
+@query("dedup_ngram_jaccard_prefixed", oracle=_NGRAM_JACCARD_ORACLE)
+def q_dedup_ngram_jaccard_prefixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``prefix_filter=True`` web-scale path of
+    :func:`ngram_jaccard_pairs` as its own declared query (VERDICT r5
+    #5): prefix filtering is lossless, so it shares the unblocked
+    oracle — a driver hash-green row attests that the filter-then-
+    verify split returns the byte-identical pair set, not just that a
+    property test said so at fixture scale."""
+    t = load_tables(spark, sf_dir)
+    return ngram_jaccard_pairs(t["documents"], prefix_filter=True)
 
 
 def ngram_jaccard_pairs(

@@ -12,7 +12,9 @@ backfill run uses in production.  State lives on executors
 
 from __future__ import annotations
 
+import datetime as _dt
 import hashlib
+import math
 import os
 import shutil
 import uuid
@@ -144,12 +146,33 @@ def _cells_match(a, b) -> bool:
     """Exact for everything except floats: stream and batch partials
     add doubles in different orders, so a float cell near a rounding
     boundary can legitimately differ in the last representable step —
-    the same hazard class §5.3 rule 8 handles for oracles."""
+    the same hazard class §5.3 rule 8 handles for oracles.  abs_tol is
+    ONE step of the 4dp rounding grid the streaming compare surface
+    uses (F.round(…, 4) everywhere floats appear): summation-order
+    noise (~1e-12 relative) can push a correctly-rounded value at most
+    one grid cell away, so 1e-4 admits exactly that and nothing looser
+    — a genuine divergence of two grid steps fails."""
     if isinstance(a, float) and isinstance(b, float):
-        import math
-
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-3)
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-4)
     return a == b
+
+
+def _parity_group_key(row: tuple) -> tuple:
+    """Float- and None-insensitive grouping key for parity matching.
+
+    A raw-tuple ``sorted()`` zip-compare has two failure modes this key
+    removes: (1) a float that differs in the last ulp between stream
+    and batch can DECIDE sort order for rows otherwise tied, misaligning
+    the zip so a genuine parity pass reports divergence; (2) ``None``
+    beside a non-None value in the same column makes tuples unorderable
+    (TypeError).  Floats therefore collapse to a class marker and every
+    other cell is keyed by repr so mixed-type cells stay comparable."""
+    return tuple(
+        "\x00none" if v is None
+        else "\x01float" if isinstance(v, float)
+        else f"\x02{v!r}"
+        for v in row
+    )
 
 
 def _assert_stream_matches_batch(
@@ -163,23 +186,44 @@ def _assert_stream_matches_batch(
     then attests exact stream semantics, not just that a job ran.
 
     Both collects are bounded by _PARITY_CAP (limit-probed, no extra
-    count job): past the cap the check skips — it exists to attest
-    fixture-scale semantics, not to materialize production results."""
-    got_rows = result.limit(_PARITY_CAP + 1).collect()
+    count job): past the cap ON EITHER SIDE the check skips
+    symmetrically — it exists to attest fixture-scale semantics, not to
+    materialize production results, and a one-sided skip would report a
+    truncated (wrong) cardinality for the unbounded side.
+
+    Rows match as a MULTISET, grouped on the float-free key and matched
+    within each group cell-by-cell (floats via isclose) — see
+    :func:`_parity_group_key` for why a raw sorted-zip is unsafe."""
+    got_rows = [tuple(r) for r in result.limit(_PARITY_CAP + 1).collect()]
     if len(got_rows) > _PARITY_CAP:
         return
-    want_rows = batch.limit(_PARITY_CAP + 1).collect()
-    got = sorted(map(tuple, got_rows))
-    want = sorted(map(tuple, want_rows))
-    ok = len(got) == len(want) and all(
-        all(_cells_match(x, y) for x, y in zip(g, w))
-        for g, w in zip(got, want)
-    )
-    if not ok:
+    want_rows = [tuple(r) for r in batch.limit(_PARITY_CAP + 1).collect()]
+    if len(want_rows) > _PARITY_CAP:
+        return
+    if len(got_rows) != len(want_rows):
         raise AssertionError(
             f"{what}: stream result diverges from its batch twin "
-            f"({len(got)} vs {len(want)} rows)"
+            f"({len(got_rows)} vs {len(want_rows)} rows)"
         )
+    pending: dict[tuple, list[tuple]] = {}
+    for w in want_rows:
+        pending.setdefault(_parity_group_key(w), []).append(w)
+    for g in got_rows:
+        cands = pending.get(_parity_group_key(g), [])
+        idx = next(
+            (
+                i
+                for i, w in enumerate(cands)
+                if all(_cells_match(x, y) for x, y in zip(g, w))
+            ),
+            None,
+        )
+        if idx is None:
+            raise AssertionError(
+                f"{what}: stream result diverges from its batch twin "
+                f"(stream row {g!r} has no tolerance-matching batch row)"
+            )
+        cands.pop(idx)
 
 
 @query("stream_tumbling", tags=("rows-only", "streaming"))
@@ -253,11 +297,21 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("stream_late_data", tags=("rows-only", "streaming"))
 def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark semantics with genuinely late data: the fixture is
-    split into an on-time file and a very-late file, streamed one file
-    per micro-batch (so the watermark advances between them) in APPEND
-    mode — the late file's rows fall behind the watermark and are
-    dropped.  tests/test_streaming.py asserts the drop actually
-    happened (fewer events counted than exist)."""
+    split into two on-time files and a very-late file, streamed one
+    file per micro-batch in APPEND mode — the late file's rows fall
+    behind the watermark and are dropped, asserted by the embedded
+    self-check below (no pre-cutoff window may be emitted).
+
+    Why THREE files, not two: since SPARK-24634 the stateful operators
+    carry two watermarks — late-INPUT filtering uses the value that was
+    in effect during the PREVIOUS micro-batch, eviction uses the value
+    computed from it (visible in the plan: ``StateStoreSave … Append,
+    0, 1706…220``).  With an on-time/late two-file split the late file
+    arrives while the filter watermark is still 0: its rows enter state
+    and their windows are immediately evicted-and-EMITTED, so nothing
+    is ever dropped — the original two-file version of this query
+    demonstrated only final-window holdback.  A middle on-time batch
+    ages the filter watermark past the late rows before they arrive."""
     base = load_tables(spark, sf_dir, register_views=False)["events"]
     sf_norm = os.path.normpath(sf_dir)
     # pid-scoped (concurrent processes must not rmtree each other's
@@ -266,24 +320,30 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process the staging is reused.
     split_dir = os.path.join(
         _SCRATCH,
-        f"late_stream_{os.path.basename(sf_norm)}_"
+        f"late_stream3_{os.path.basename(sf_norm)}_"
         f"{hashlib.md5(sf_norm.encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     cutoff = "2024-01-10 00:00:00"
-    on_time = base.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    mid = "2024-01-20 00:00:00"
+    on_time_a = base.filter(
+        (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+        & (F.col("ts") < F.lit(mid).cast("timestamp"))
+    )
+    on_time_b = base.filter(F.col("ts") >= F.lit(mid).cast("timestamp"))
     late = base.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
-    # Stage two single parquet FILES (not write-dirs) with ordered
-    # modification times so the file source replays on-time first, one
-    # file per micro-batch — the watermark then advances past the late
-    # file's event times before it arrives.  Each split is written
-    # EXECUTOR-SIDE (`coalesce(1).write.parquet` + part-file rename) —
-    # rows never land on the driver, so the staging step itself scales;
-    # the splits are deterministic, so an existing staged dir is reused.
-    paths = [os.path.join(split_dir, f"f{i}.parquet") for i in range(2)]
+    # Stage three single parquet FILES (not write-dirs) with ordered
+    # modification times so the file source replays them oldest-first,
+    # one file per micro-batch: by the late file's batch the FILTER
+    # watermark equals max(on_time_a) − 10 min ≈ Jan 19, far past every
+    # late event time.  Each split is written EXECUTOR-SIDE
+    # (`coalesce(1).write.parquet` + part-file rename) — rows never
+    # land on the driver, so the staging step itself scales; the splits
+    # are deterministic, so an existing staged dir is reused.
+    paths = [os.path.join(split_dir, f"f{i}.parquet") for i in range(3)]
     if not all(os.path.exists(p) for p in paths):
         shutil.rmtree(split_dir, ignore_errors=True)
         os.makedirs(split_dir, exist_ok=True)
-        for i, part in enumerate((on_time, late)):
+        for i, part in enumerate((on_time_a, on_time_b, late)):
             tmp = os.path.join(split_dir, f"_stage{i}")
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             part_file = next(
@@ -296,7 +356,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(paths):
             os.utime(p, (1_700_000_000 + i * 3600,) * 2)
     stream = (
-        spark.readStream.schema(on_time.schema)
+        spark.readStream.schema(base.schema)
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
         .parquet(split_dir)
@@ -308,6 +368,39 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     name, s = run_to_memory(agg, "append")
+    # Embedded watermark self-check (same contract as the parity checks
+    # in the sibling queries): a driver rows-only green must attest the
+    # DROP actually happened, not just that a job ran.  Bounded collect;
+    # past the cap the check skips like _assert_stream_matches_batch.
+    out_rows = s.table(name).limit(_PARITY_CAP + 1).collect()
+    if len(out_rows) <= _PARITY_CAP:
+        late_total = late.count()
+        if late_total == 0:
+            raise AssertionError(
+                "stream_late_data: fixture has no pre-cutoff rows — the "
+                "watermark check is vacuous"
+            )
+        if not out_rows:
+            raise AssertionError(
+                "stream_late_data: append-mode run emitted no windows"
+            )
+        # Every late row lives in a window starting before the cutoff
+        # (hour windows align and the cutoff is a midnight), so a single
+        # pre-cutoff window in the output proves late rows were counted.
+        cutoff_dt = _dt.datetime(2024, 1, 10)  # == `cutoff`, session tz UTC
+        earliest = min(r["window_start"] for r in out_rows)
+        if earliest < cutoff_dt:
+            raise AssertionError(
+                f"stream_late_data: window {earliest} predates the cutoff "
+                f"— rows behind the watermark were not dropped"
+            )
+        streamed = sum(r["n_events"] for r in out_rows)
+        on_time_total = base.count() - late_total
+        if not 0 < streamed <= on_time_total:
+            raise AssertionError(
+                f"stream_late_data: emitted {streamed} events vs "
+                f"{on_time_total} on-time rows — append emission is off"
+            )
     return s.table(name)
 
 

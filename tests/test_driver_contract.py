@@ -91,6 +91,40 @@ def test_ordered_registry_frontloads_least_recently_attested():
     assert tiers == sorted(tiers), "attestation rounds must be non-decreasing"
 
 
+def test_driver_prefix_starves_recently_attested_queries():
+    """VERDICT r5 #4: the 50-query driver sample must never re-spend a
+    slot on a query attested in either of the two most recent rounds
+    while enough staler queries exist to fill the prefix — the
+    starvation property the ordered_registry docstring promises.
+    Pinned queries are exempt (a pin deliberately jumps the queue to
+    re-attest machinery that changed since its last green row)."""
+    from pyspark_analytics_library_spark.registry import (
+        _PRIORITY,
+        _driver_attestation_rounds,
+        ordered_registry,
+    )
+
+    attested = _driver_attestation_rounds()
+    if not attested:
+        return  # outside the repo checkout: nothing to starve
+    latest = max(attested.values())
+    recent = {n for n, r in attested.items() if r >= latest - 1}
+    pinned = {
+        n
+        for n, until in _PRIORITY.items()
+        if n in REGISTRY and attested.get(n, 0) < until
+    }
+    order = list(ordered_registry())
+    stale_pool = [n for n in order if n not in recent and n not in pinned]
+    budget = 50 - len(pinned)
+    if len(stale_pool) < budget:
+        return  # not enough stale queries to fill the sample
+    offenders = [n for n in order[:50] if n in recent and n not in pinned]
+    assert not offenders, (
+        f"driver prefix wastes slots on recently-attested queries: {offenders}"
+    )
+
+
 def test_attestation_ignores_failing_rows(tmp_path):
     """A failed driver row must not count as attestation — the query
     should rotate back toward the sample prefix."""

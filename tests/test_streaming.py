@@ -159,6 +159,10 @@ def test_parity_check_skips_past_the_cap(spark):
     # so no AssertionError may surface even though the sides diverge
     other = spark.range(5).select(F.col("id"))
     _assert_stream_matches_batch(big, other, "cap-probe")
+    # the skip must be SYMMETRIC: a small stream side with an
+    # over-cap batch side also skips (a one-sided skip would compare a
+    # truncated batch collect and report its wrong cardinality)
+    _assert_stream_matches_batch(other, big, "cap-probe-flipped")
 
     # under the cap the same divergence must raise
     import pytest as _pytest
@@ -169,3 +173,68 @@ def test_parity_check_skips_past_the_cap(spark):
             spark.range(6).select(F.col("id")),
             "small-probe",
         )
+
+
+def test_parity_check_survives_tied_keys_with_ulp_floats(spark):
+    """VERDICT r5 #2: rows tied on their non-float key whose float
+    cells differ by one ulp between stream and batch must PASS — under
+    the old raw-tuple sort the float decided order and misaligned the
+    zip compare, failing a genuine parity pass."""
+    import math
+
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _assert_stream_matches_batch,
+    )
+
+    schema = "k string, v double, tag string"
+    got = spark.createDataFrame([("a", 1.0, "x"), ("a", 1.0, "y")], schema)
+    want = spark.createDataFrame(
+        [
+            ("a", math.nextafter(1.0, 2.0), "x"),
+            ("a", math.nextafter(1.0, 0.0), "y"),
+        ],
+        schema,
+    )
+    _assert_stream_matches_batch(got, want, "ulp-probe")
+
+
+def test_parity_check_is_none_safe(spark):
+    """ADVICE r5: None beside a non-None value in the same column made
+    the old sorted() comparison raise TypeError mid-check."""
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _assert_stream_matches_batch,
+    )
+
+    schema = "k string, n bigint"
+    got = spark.createDataFrame([(None, 1), ("b", 2)], schema)
+    want = spark.createDataFrame([("b", 2), (None, 1)], schema)
+    _assert_stream_matches_batch(got, want, "none-probe")
+
+
+def test_parity_check_rejects_two_grid_steps(spark):
+    """ADVICE r5: tolerance is one step of the 4dp rounding grid — a
+    float divergence of 5e-4 (well past summation-order noise) must
+    FAIL, where the old 1e-3 abs_tol silently passed it."""
+    import pytest as _pytest
+
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _assert_stream_matches_batch,
+    )
+
+    schema = "k string, v double"
+    got = spark.createDataFrame([("a", 1.0)], schema)
+    want = spark.createDataFrame([("a", 1.0005)], schema)
+    with _pytest.raises(AssertionError, match="diverges"):
+        _assert_stream_matches_batch(got, want, "tol-probe")
+
+
+def test_stream_late_data_output_has_no_precutoff_window(spark):
+    """The embedded self-check asserts this inside the query; assert it
+    from the outside too so a regression in the check itself (not just
+    the semantics) is caught."""
+    import datetime
+
+    stream = REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR)
+    earliest = stream.agg(F.min("window_start")).collect()[0][0]
+    assert earliest is not None
+    assert earliest >= datetime.datetime(2024, 1, 10)

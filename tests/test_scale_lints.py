@@ -29,9 +29,9 @@ WHITELIST = {
     # batch-vs-stream self-checks: three scalar event-count collects,
     # the two group-count-sized collects inside
     # _assert_stream_matches_batch (full result-set parity), and the
-    # _PARITY_CAP-bounded window collect in stream_late_data's embedded
-    # watermark-drop check
-    "streaming/stream_queries.py": 6,
+    # two 1-row scalar-aggregate collects in stream_late_data's
+    # embedded watermark-drop check
+    "streaming/stream_queries.py": 7,
     # stratified-sample fraction map: one row per distinct lang (~5)
     "operators/relational.py": 1,
     # dim probe (1 row) + IndexTooLargeError-gated index build +

@@ -231,10 +231,46 @@ def test_parity_check_rejects_two_grid_steps(spark):
 def test_stream_late_data_output_has_no_precutoff_window(spark):
     """The embedded self-check asserts this inside the query; assert it
     from the outside too so a regression in the check itself (not just
-    the semantics) is caught."""
-    import datetime
-
+    the semantics) is caught.  Spark-side comparison on purpose:
+    collected timestamps render in the driver OS timezone, not the
+    session timezone, so a Python-side `< datetime(...)` would break
+    (or silently weaken) on any non-UTC machine."""
     stream = REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR)
-    earliest = stream.agg(F.min("window_start")).collect()[0][0]
-    assert earliest is not None
-    assert earliest >= datetime.datetime(2024, 1, 10)
+    cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    pre, total = stream.agg(
+        F.count_if(F.col("window_start") < cutoff), F.count(F.lit(1))
+    ).collect()[0]
+    assert total > 0
+    assert pre == 0
+
+
+def test_cells_match_admits_one_grid_step_rejects_two():
+    """The tolerance must admit exactly one step of the 4dp rounding
+    grid (adjacent 4dp doubles differ by slightly MORE than 1e-4 in
+    IEEE form — the reason abs_tol is 1.5e-4, not 1e-4) and reject two
+    steps."""
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _cells_match,
+    )
+
+    assert _cells_match(0.1234, 0.1235)
+    assert _cells_match(12.3456, 12.3457)
+    assert _cells_match(99.9999, 100.0)
+    assert not _cells_match(0.1234, 0.1236)
+    assert not _cells_match(12.3456, 12.3458)
+
+
+def test_group_matching_backtracks_past_greedy_order():
+    """Two rows tied on keys whose floats have OVERLAPPING tolerance
+    windows: greedy first-fit pairs stream 1.0001 with batch 1.0002 and
+    then dead-ends; the augmenting-path matcher must find the valid
+    pairing (1.0001→1.0000, 1.0002→1.0002)."""
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _group_matches,
+    )
+
+    got = [("k", 1.0001), ("k", 1.0002)]
+    want = [("k", 1.0002), ("k", 1.0000)]
+    assert _group_matches(got, want)
+    # and a genuinely unmatchable set still fails
+    assert not _group_matches([("k", 1.0), ("k", 1.0002)], [("k", 1.0), ("k", 1.01)])

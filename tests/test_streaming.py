@@ -5,6 +5,8 @@ mode — the strongest check available without a streaming oracle.
 
 from __future__ import annotations
 
+from hypothesis import given as hyp_given
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
@@ -274,3 +276,72 @@ def test_group_matching_backtracks_past_greedy_order():
     assert _group_matches(got, want)
     # and a genuinely unmatchable set still fails
     assert not _group_matches([("k", 1.0), ("k", 1.0002)], [("k", 1.0), ("k", 1.01)])
+
+
+def _parity_multiset_ok(got_rows, want_rows) -> bool:
+    """The pure grouping+matching core of _assert_stream_matches_batch,
+    driven through the REAL key and matcher functions (only the
+    DataFrame collects and error formatting are elided)."""
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _group_matches,
+        _parity_group_key,
+    )
+
+    gg, gw = {}, {}
+    for r in got_rows:
+        gg.setdefault(_parity_group_key(r), []).append(r)
+    for r in want_rows:
+        gw.setdefault(_parity_group_key(r), []).append(r)
+    return all(
+        len(g) == len(gw.get(k, [])) and _group_matches(g, gw.get(k, []))
+        for k in gg
+        for g in [gg[k]]
+    ) and set(gg) == set(gw)
+
+
+@hyp_given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(0, 3).map(lambda i: float(i) / 100.0),
+            st.integers(-5, 5),
+        ),
+        max_size=12,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_parity_matching_accepts_noise_within_one_grid_step(rows, rnd):
+    """PROPERTY: any permutation of the batch rows with per-float noise
+    strictly inside the tolerance must match — regardless of ties,
+    Nones, duplicate rows, or how the noise reorders a raw sort."""
+    want = [
+        (k, v + (rnd.random() - 0.5) * 1e-4, n)  # |noise| ≤ 5e-5 < 1.5e-4
+        for (k, v, n) in rows
+    ]
+    rnd.shuffle(want)
+    assert _parity_multiset_ok(rows, want)
+
+
+@hyp_given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 9).map(lambda i: float(i) / 100.0),
+            st.integers(-5, 5),
+        ),
+        min_size=1,
+        max_size=10,
+        unique=True,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_parity_matching_rejects_divergence_beyond_tolerance(rows, rnd):
+    """PROPERTY: perturbing ONE row's float by 4e-4 (past tolerance,
+    while all generated floats sit on a 1e-2 grid so it cannot sidle up
+    to a different row) must be reported as divergence."""
+    want = list(rows)
+    i = rnd.randrange(len(want))
+    k, v, n = want[i]
+    want[i] = (k, v + 4e-4, n)
+    rnd.shuffle(want)
+    assert not _parity_multiset_ok(rows, want)

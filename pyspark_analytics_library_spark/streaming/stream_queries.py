@@ -188,25 +188,46 @@ def _assert_stream_matches_batch(
     then attests exact stream semantics, not just that a job ran.
 
     Both collects are bounded by _PARITY_CAP (limit-probed, no extra
-    count job): past the cap ON EITHER SIDE the check skips
-    symmetrically — it exists to attest fixture-scale semantics, not to
-    materialize production results, and a one-sided skip would report a
-    truncated (wrong) cardinality for the unbounded side.
+    count job): past the cap on BOTH sides the check skips — it exists
+    to attest fixture-scale semantics, not to materialize production
+    results.  Past the cap on exactly ONE side the cardinalities
+    provably differ (≤cap vs >cap), so that raises as a divergence —
+    without quoting the truncated count as if it were the real one.
 
     Rows match as a MULTISET, grouped on the float-free key and matched
     within each group cell-by-cell (floats via isclose) — see
     :func:`_parity_group_key` for why a raw sorted-zip is unsafe."""
     got_rows = [tuple(r) for r in result.limit(_PARITY_CAP + 1).collect()]
-    if len(got_rows) > _PARITY_CAP:
-        return
     want_rows = [tuple(r) for r in batch.limit(_PARITY_CAP + 1).collect()]
-    if len(want_rows) > _PARITY_CAP:
+    got_over = len(got_rows) > _PARITY_CAP
+    want_over = len(want_rows) > _PARITY_CAP
+    if got_over and want_over:
         return
-    if len(got_rows) != len(want_rows):
+    if got_over != want_over:
+        side = ("stream", "batch") if got_over else ("batch", "stream")
+        small = len(want_rows) if got_over else len(got_rows)
         raise AssertionError(
             f"{what}: stream result diverges from its batch twin "
-            f"({len(got_rows)} vs {len(want_rows)} rows)"
+            f"({side[0]} side exceeds the {_PARITY_CAP}-row parity cap "
+            f"while the {side[1]} side has {small} rows)"
         )
+    error = _parity_rows_match(got_rows, want_rows)
+    if error is not None:
+        raise AssertionError(
+            f"{what}: stream result diverges from its batch twin ({error})"
+        )
+
+
+def _parity_rows_match(
+    got_rows: list[tuple], want_rows: list[tuple]
+) -> str | None:
+    """Pure multiset-parity core of :func:`_assert_stream_matches_batch`
+    (separated so property tests drive the REAL grouping/matching code
+    path, not a reimplementation).  Returns None on match, else a short
+    reason.  Equal totals + per-got-group size equality ⟹ no batch-only
+    group can hide, so iterating got-groups alone is complete."""
+    if len(got_rows) != len(want_rows):
+        return f"{len(got_rows)} vs {len(want_rows)} rows"
     groups_got: dict[tuple, list[tuple]] = {}
     for g in got_rows:
         groups_got.setdefault(_parity_group_key(g), []).append(g)
@@ -216,12 +237,12 @@ def _assert_stream_matches_batch(
     for key, got_g in groups_got.items():
         want_g = groups_want.get(key, [])
         if len(got_g) != len(want_g) or not _group_matches(got_g, want_g):
-            raise AssertionError(
-                f"{what}: stream result diverges from its batch twin "
-                f"(stream rows {got_g[:3]!r}{'…' if len(got_g) > 3 else ''} "
+            return (
+                f"stream rows {got_g[:3]!r}{'…' if len(got_g) > 3 else ''} "
                 f"have no tolerance-matching batch rows; batch candidates: "
-                f"{want_g[:3]!r}{'…' if len(want_g) > 3 else ''})"
+                f"{want_g[:3]!r}{'…' if len(want_g) > 3 else ''}"
             )
+    return None
 
 
 def _group_matches(got_g: list[tuple], want_g: list[tuple]) -> bool:
@@ -359,11 +380,26 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # process the staging is reused.
     split_dir = os.path.join(
         _SCRATCH,
-        f"late_stream3_{os.path.basename(sf_norm)}_"
+        f"late_stream_{os.path.basename(sf_norm)}_"
         f"{hashlib.md5(sf_norm.encode()).hexdigest()[:8]}_{os.getpid()}",
     )
     cutoff = "2024-01-10 00:00:00"
     mid = "2024-01-20 00:00:00"
+    cutoff_col = F.lit(cutoff).cast("timestamp")
+    # Fixture-vacuity gate BEFORE any staging/streaming work: a fixture
+    # whose ts range moved past the cutoff would otherwise stage three
+    # splits and run the whole stream only to fail the self-check.  One
+    # scan yields both totals the post-run check needs.
+    totals = base.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_if(F.col("ts") < cutoff_col).alias("late"),
+    ).collect()[0]
+    if totals["late"] == 0 or totals["late"] == totals["total"]:
+        raise AssertionError(
+            f"stream_late_data: fixture has {totals['late']} of "
+            f"{totals['total']} rows before the cutoff — the watermark "
+            f"check needs both late and on-time rows"
+        )
     on_time_a = base.filter(
         (F.col("ts") >= F.lit(cutoff).cast("timestamp"))
         & (F.col("ts") < F.lit(mid).cast("timestamp"))
@@ -413,18 +449,8 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs Spark-SIDE as a scalar aggregate: timezone-immune (collected
     # timestamps render in the driver OS zone, not the session zone, so
     # a Python-side `< datetime(...)` compare breaks off-UTC) and
-    # scale-safe (two 1-row collects; nothing input-sized reaches the
-    # driver, so no cap/skip is needed).
-    cutoff_col = F.lit(cutoff).cast("timestamp")
-    totals = base.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.count_if(F.col("ts") < cutoff_col).alias("late"),
-    ).collect()[0]
-    if totals["late"] == 0:
-        raise AssertionError(
-            "stream_late_data: fixture has no pre-cutoff rows — the "
-            "watermark check is vacuous"
-        )
+    # scale-safe (a 1-row collect plus the pre-staging totals scan;
+    # nothing input-sized reaches the driver, so no cap/skip is needed).
     out = s.table(name).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.coalesce(F.sum("n_events"), F.lit(0)).alias("streamed"),

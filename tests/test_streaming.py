@@ -156,19 +156,24 @@ def test_parity_check_skips_past_the_cap(spark):
         _assert_stream_matches_batch,
     )
 
-    big = spark.range(_PARITY_CAP + 10).select(F.col("id"))
-    # deliberately DIFFERENT second side: past the cap the check skips,
-    # so no AssertionError may surface even though the sides diverge
-    other = spark.range(5).select(F.col("id"))
-    _assert_stream_matches_batch(big, other, "cap-probe")
-    # the skip must be SYMMETRIC: a small stream side with an
-    # over-cap batch side also skips (a one-sided skip would compare a
-    # truncated batch collect and report its wrong cardinality)
-    _assert_stream_matches_batch(other, big, "cap-probe-flipped")
-
-    # under the cap the same divergence must raise
     import pytest as _pytest
 
+    # BOTH sides past the cap: skip (fixture-scale attestation only) —
+    # even though the ranges differ beyond the cap
+    big = spark.range(_PARITY_CAP + 10).select(F.col("id"))
+    bigger = spark.range(_PARITY_CAP + 20).select(F.col("id"))
+    _assert_stream_matches_batch(big, bigger, "cap-probe-both")
+
+    # exactly ONE side past the cap: the cardinalities provably differ
+    # (≤cap vs >cap), so this must RAISE — in both directions — without
+    # quoting the truncated collect as a real count
+    other = spark.range(5).select(F.col("id"))
+    with _pytest.raises(AssertionError, match="exceeds the .*parity cap"):
+        _assert_stream_matches_batch(big, other, "cap-probe-stream-over")
+    with _pytest.raises(AssertionError, match="exceeds the .*parity cap"):
+        _assert_stream_matches_batch(other, big, "cap-probe-batch-over")
+
+    # under the cap the same divergence must raise
     with _pytest.raises(AssertionError, match="diverges"):
         _assert_stream_matches_batch(
             spark.range(5).select(F.col("id")),
@@ -279,24 +284,12 @@ def test_group_matching_backtracks_past_greedy_order():
 
 
 def _parity_multiset_ok(got_rows, want_rows) -> bool:
-    """The pure grouping+matching core of _assert_stream_matches_batch,
-    driven through the REAL key and matcher functions (only the
-    DataFrame collects and error formatting are elided)."""
+    """Drives the REAL pure multiset core the assert helper uses."""
     from pyspark_analytics_library_spark.streaming.stream_queries import (
-        _group_matches,
-        _parity_group_key,
+        _parity_rows_match,
     )
 
-    gg, gw = {}, {}
-    for r in got_rows:
-        gg.setdefault(_parity_group_key(r), []).append(r)
-    for r in want_rows:
-        gw.setdefault(_parity_group_key(r), []).append(r)
-    return all(
-        len(g) == len(gw.get(k, [])) and _group_matches(g, gw.get(k, []))
-        for k in gg
-        for g in [gg[k]]
-    ) and set(gg) == set(gw)
+    return _parity_rows_match(got_rows, want_rows) is None
 
 
 @hyp_given(

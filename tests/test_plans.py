@@ -319,6 +319,18 @@ def test_ngram_prefix_filter_stays_equi_join(spark):
     text = plan_text(ngram_jaccard_pairs(docs, prefix_filter=True))
     assert "BroadcastNestedLoopJoin" not in text
     assert "CartesianProduct" not in text
+    # The filter machinery must actually be IN the plan — if the flag
+    # silently fell back to the unfiltered join, the equi-join
+    # assertions above would still pass while the web-scale path (now
+    # the declared query dedup_ngram_jaccard_prefixed) went untested:
+    # the df-rank window that orders each doc's shingles...
+    assert "row_number" in text, text
+    # ...and the exact verify on the candidate pairs' full shingle sets.
+    assert "array_intersect" in text, text
+    # The unfiltered path must have NEITHER (it counts join hits
+    # directly and never ranks shingles).
+    plain = plan_text(ngram_jaccard_pairs(docs, prefix_filter=False))
+    assert "row_number" not in plain and "array_intersect" not in plain
 
 
 def test_resample_interp_grid_build_is_broadcast(spark):

@@ -323,8 +323,19 @@ def ngram_jaccard_pairs(
                 Window.partitionBy("doc_id").orderBy("df", "s")
             ),
         )
+        # Lossless bound: keep the first n − ⌈τ·n⌉ + 1 shingles.  The
+        # ⌈·⌉ argument is nudged down by 1e-9 before ceil: when τ·n is
+        # an exact integer in real arithmetic, double rounding can land
+        # one ulp ABOVE it (relative error ~1.7e-16 > half-ulp), ceil
+        # would return k+1, and the prefix would shrink below the
+        # lossless bound — silently dropping qualifying pairs for
+        # arbitrary caller-supplied τ.  The nudge can only lengthen the
+        # prefix (more candidates, never fewer), so soundness holds for
+        # every τ; 1e-9 dwarfs the ulp error yet is far below the 1/n
+        # gap between attainable τ·n values at any realistic n.
         prefix = ranked.filter(
-            F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(tau) * F.col("n") - F.lit(1e-9)) + 1
         )
         pa = prefix.select(F.col("doc_id").alias("id_a"), "lang", "s")
         pb = prefix.select(

@@ -30,6 +30,72 @@ _SCRATCH = os.path.join(
     ".scratch",
 )
 
+#: Janitor latch — prune once per process, at the first query that
+#: stages into scratch, not at import (imports must stay side-effect
+#: free) and not per call (a 190-query sweep would re-scan .scratch
+#: hundreds of times).
+_SCRATCH_PRUNED = False
+
+#: Age gate for uuid-named leftovers.  Generous on purpose: a dir is
+#: only ever deleted long after any plausible run that could still hold
+#: a DataFrame backed by it has exited.
+_SCRATCH_MAX_AGE_S = 6 * 3600
+
+
+def _prune_stale_scratch() -> None:
+    """Bounded scratch janitor (VERDICT r6 #6 / ADVICE r6): two classes
+    of per-run staging legitimately outlive their query and therefore
+    leak once the process exits —
+
+    * ``feb_*`` / ``stream_sink_*``: uuid-named foreachBatch sinks; the
+      RETURNED DataFrame is backed by the parquet they hold, so the
+      query cannot delete them at exit.  Reclaimed by age (mtime older
+      than ``_SCRATCH_MAX_AGE_S``).
+    * ``late_stream_*_<pid>``: pid-scoped splits, rmtree'd only when
+      the SAME pid restages.  Reclaimed when the owning pid is dead
+      (``os.kill(pid, 0)``); a live pid's dir is never touched, so a
+      concurrent driver mid-stream is safe.  Pid-reuse is covered by
+      the age gate as a fallback.
+
+    Best-effort throughout: a racing deleter or permission hiccup must
+    never fail the query doing the janitoring."""
+    global _SCRATCH_PRUNED
+    if _SCRATCH_PRUNED:
+        return
+    _SCRATCH_PRUNED = True
+    try:
+        entries = os.listdir(_SCRATCH)
+    except OSError:
+        return
+    import time
+
+    now = time.time()
+    for name in entries:
+        path = os.path.join(_SCRATCH, name)
+        try:
+            expired = now - os.path.getmtime(path) > _SCRATCH_MAX_AGE_S
+            if name.startswith(("feb_", "stream_sink_")):
+                if expired:
+                    shutil.rmtree(path, ignore_errors=True)
+            elif name.startswith("late_stream_"):
+                pid_s = name.rsplit("_", 1)[-1]
+                if not pid_s.isdigit():
+                    continue
+                pid = int(pid_s)
+                if pid == os.getpid():
+                    continue
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except OSError:
+                    alive = True  # EPERM etc. — assume alive, keep
+                if not alive or expired:
+                    shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 def _staged_events_dir(sf_dir: str) -> str:
     """The file streaming source requires a *directory*; stage one in
@@ -40,6 +106,7 @@ def _staged_events_dir(sf_dir: str) -> str:
     share a basename (numbered pytest tmp dirs both ending in sf0.01)
     must stage disjoint dirs — with a shared key they would silently
     re-point each other's events symlink mid-stream."""
+    _prune_stale_scratch()
     sf_norm = os.path.normpath(sf_dir)
     sf_key = (
         f"{os.path.basename(sf_norm)}_"
@@ -153,9 +220,14 @@ def _cells_match(a, b) -> bool:
     not 1e-4, because adjacent 4dp doubles differ by slightly MORE
     than 1e-4 in IEEE representation (0.1235−0.1234 ≈ 1.000…03e-4), so
     an exact one-grid-step bound would reject the very divergence it
-    documents admitting; two grid steps (≥ ~2e-4) still fail."""
+    documents admitting; two grid steps (≥ ~2e-4) still fail.
+
+    rel_tol is 0: ``math.isclose`` defaults rel_tol=1e-9, which would
+    silently DOMINATE abs_tol once |v| exceeds ~1.5e5 (at 1e6 the
+    effective tolerance becomes 1e-3 ≈ ten grid steps), voiding the
+    one-step guarantee exactly where big SUMs live — ADVICE r6."""
     if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1.5e-4)
+        return math.isclose(a, b, rel_tol=0.0, abs_tol=1.5e-4)
     return a == b
 
 
@@ -373,6 +445,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrated only final-window holdback.  A middle on-time batch
     ages the filter watermark past the late rows before they arrive."""
     base = load_tables(spark, sf_dir, register_views=False)["events"]
+    _prune_stale_scratch()
     sf_norm = os.path.normpath(sf_dir)
     # pid-scoped (concurrent processes must not rmtree each other's
     # staged files mid-stream) + full-path digest (same-basename fixture

@@ -18,10 +18,35 @@ ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
+def _assert_boundary_has_no_complex_columns(df, name: str) -> None:
+    """SURVEY §5.3 rule 11, enforced structurally: the driver's
+    canonicalizer collects rows and sorts them with pandas, which
+    crashes on list/dict cells (CORRECTNESS_r06 `agg_freqitems`,
+    ``TypeError: unhashable type: 'list'``).  Every declared query must
+    therefore serialize container outputs — ``to_json(sort_array(...))``
+    for order-free arrays — so the boundary emits only atomic columns.
+    Asserted on schema alone (no action), for oracled and rows-only
+    queries alike, so the NEXT such query fails here, not in the
+    driver."""
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"[{name}] declared-query boundary emits complex-typed columns "
+        f"{complex_cols} — serialize them (e.g. F.to_json(F.sort_array(c)))"
+        f" so the driver canonicalizer sees atomic cells"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, oracle, name):
     spec = REGISTRY[name]
     df = spec.fn(spark, TEST_SF_DIR)
+    _assert_boundary_has_no_complex_columns(df, name)
     assert_query_matches_oracle(df, oracle, spec.oracle, name=name)
 
 
@@ -31,6 +56,7 @@ def test_rows_only_query_runs(spark, name):
     df = spec.fn(spark, TEST_SF_DIR)
     # Schema must be stable and the query must execute end-to-end.
     assert df.columns, f"[{name}] produced no columns"
+    _assert_boundary_has_no_complex_columns(df, name)
     assert df.count() >= 0
 
 

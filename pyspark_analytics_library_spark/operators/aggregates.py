@@ -341,8 +341,10 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = df.summary("count", "mean", "stddev", "min", "25%", "50%", "75%", "max")
     # 8 rows × 4 columns — bounded by the statistic list, never by input.
     cells = {r["summary"]: r.asDict() for r in out.collect()}
+    # Per-column F.count(c), NOT F.count(1): summary's count row is the
+    # NON-NULL count, a different statistic on any fixture with nulls.
     exact = df.agg(
-        F.count(F.lit(1)).alias("n"),
+        *[F.count(c).alias(f"n_{c}") for c in cols],
         *[F.avg(c).alias(f"avg_{c}") for c in cols],
         *[F.min(c).alias(f"min_{c}") for c in cols],
         *[F.max(c).alias(f"max_{c}") for c in cols],
@@ -350,15 +352,21 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         # Java's Double.toString round-trips, so parsed cells match the
         # direct aggregates to the ulp; mean gets rel_tol for the one
-        # summation-order divergence class rounding cannot absorb.
+        # summation-order divergence class rounding cannot absorb.  An
+        # all-null column yields None on BOTH sides (summary cell and
+        # direct aggregate) — equal-None passes, one-sided None raises.
         checks = {
-            "count": (float(cells["count"][c]), float(exact["n"]), 0.0),
-            "mean": (float(cells["mean"][c]), float(exact[f"avg_{c}"]), 1e-9),
-            "min": (float(cells["min"][c]), float(exact[f"min_{c}"]), 0.0),
-            "max": (float(cells["max"][c]), float(exact[f"max_{c}"]), 0.0),
+            "count": (cells["count"][c], exact[f"n_{c}"], 0.0),
+            "mean": (cells["mean"][c], exact[f"avg_{c}"], 1e-9),
+            "min": (cells["min"][c], exact[f"min_{c}"], 0.0),
+            "max": (cells["max"][c], exact[f"max_{c}"], 0.0),
         }
         for stat, (got, want, rt) in checks.items():
-            if not math.isclose(got, want, rel_tol=rt, abs_tol=0.0):
+            if got is None or want is None:
+                ok = got is None and want is None
+            else:
+                ok = math.isclose(float(got), float(want), rel_tol=rt, abs_tol=0.0)
+            if not ok:
                 raise AssertionError(
                     f"agg_describe: summary {stat}({c}) = {got} diverges "
                     f"from the directly-computed aggregate {want}"

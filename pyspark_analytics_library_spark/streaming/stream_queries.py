@@ -51,11 +51,20 @@ def _prune_stale_scratch() -> None:
       RETURNED DataFrame is backed by the parquet they hold, so the
       query cannot delete them at exit.  Reclaimed by age (mtime older
       than ``_SCRATCH_MAX_AGE_S``).
+    * ``stream_src_*``: deterministic-keyed events staging (a dir with
+      one symlink), reused across processes — but every distinct
+      fixture PATH keys a new dir, and pytest tmp fixtures mint a
+      fresh path per run, so the population grows one symlink-dir per
+      test session forever.  Also age-reclaimed: restaging is one
+      symlink, and no stream holds a staging dir across hours (the
+      availableNow runs complete inside their query).
     * ``late_stream_*_<pid>``: pid-scoped splits, rmtree'd only when
       the SAME pid restages.  Reclaimed when the owning pid is dead
-      (``os.kill(pid, 0)``); a live pid's dir is never touched, so a
-      concurrent driver mid-stream is safe.  Pid-reuse is covered by
-      the age gate as a fallback.
+      (``os.kill(pid, 0)``); a CONFIRMED-live pid's dir is never
+      touched — not even past the age gate, since a long-lived session
+      legitimately reuses its staged split without refreshing any
+      mtime — so a concurrent driver mid-stream is safe.  The age gate
+      applies only when liveness is inconclusive (EPERM).
 
     Best-effort throughout: a racing deleter or permission hiccup must
     never fail the query doing the janitoring."""
@@ -74,10 +83,13 @@ def _prune_stale_scratch() -> None:
         path = os.path.join(_SCRATCH, name)
         try:
             expired = now - os.path.getmtime(path) > _SCRATCH_MAX_AGE_S
-            if name.startswith(("feb_", "stream_sink_")):
+            if name.startswith(("feb_", "stream_sink_", "stream_src_")):
                 if expired:
                     shutil.rmtree(path, ignore_errors=True)
-            elif name.startswith("late_stream_"):
+            # Bare "late_stream" prefix, not "late_stream_": it must
+            # also sweep the pre-rename "late_stream3_*" generation
+            # already on disk (same _<pid> suffix contract).
+            elif name.startswith("late_stream"):
                 pid_s = name.rsplit("_", 1)[-1]
                 if not pid_s.isdigit():
                     continue
@@ -86,12 +98,15 @@ def _prune_stale_scratch() -> None:
                     continue
                 try:
                     os.kill(pid, 0)
-                    alive = True
+                    dead = False
+                    inconclusive = False
                 except ProcessLookupError:
-                    alive = False
-                except OSError:
-                    alive = True  # EPERM etc. — assume alive, keep
-                if not alive or expired:
+                    dead = True
+                    inconclusive = False
+                except OSError:  # EPERM etc. — can't probe liveness
+                    dead = False
+                    inconclusive = True
+                if dead or (inconclusive and expired):
                     shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue

@@ -267,13 +267,28 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     dead_pid = p.pid
 
     aged = time.time() - sq._SCRATCH_MAX_AGE_S - 60
-    keep = {"feb_fresh", f"late_stream_sf_ab_{os.getpid()}", "stream_src_sf_ab"}
-    prune = {"feb_aged", "stream_sink_aged", f"late_stream_sf_cd_{dead_pid}"}
+    # late_stream_sf_gh_1: pid 1 is init — alive for the life of the
+    # container — and its dir is aged past the gate; a CONFIRMED-live
+    # pid must keep its split even then (a long-lived session reuses
+    # its staging without ever refreshing the dir mtime).
+    keep = {
+        "feb_fresh",
+        "stream_src_fresh",
+        f"late_stream_sf_ab_{os.getpid()}",
+        "late_stream_sf_gh_1",
+    }
+    prune = {
+        "feb_aged",
+        "stream_sink_aged",
+        "stream_src_aged",
+        f"late_stream_sf_cd_{dead_pid}",
+        f"late_stream3_sf_legacy_{dead_pid}",  # pre-rename generation
+    }
     for name in keep | prune:
         d = tmp_path / name
         d.mkdir()
         (d / "payload").write_text("x")
-        if "aged" in name or name == "stream_src_sf_ab":
+        if "aged" in name or name == "late_stream_sf_gh_1":
             os.utime(d, (aged, aged))
 
     monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))

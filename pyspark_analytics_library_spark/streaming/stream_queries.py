@@ -47,10 +47,13 @@ def _prune_stale_scratch() -> None:
     of per-run staging legitimately outlive their query and therefore
     leak once the process exits —
 
-    * ``feb_*`` / ``stream_sink_*``: uuid-named foreachBatch sinks; the
-      RETURNED DataFrame is backed by the parquet they hold, so the
-      query cannot delete them at exit.  Reclaimed by age (mtime older
-      than ``_SCRATCH_MAX_AGE_S``).
+    * ``feb_*`` / ``stream_sink_*``: per-run foreachBatch sinks named
+      ``<prefix>_<pid>_<uuid>``; the RETURNED DataFrame is backed by
+      the parquet they hold, so the query cannot delete them at exit.
+      Reclaimed as soon as the owning pid is dead — which is what makes
+      the scratch population stop GROWING across replay sweeps instead
+      of plateauing at six hours' worth — with the age gate as the
+      fallback for legacy pid-less names and inconclusive liveness.
     * ``stream_src_*``: deterministic-keyed events staging (a dir with
       one symlink), reused across processes — but every distinct
       fixture PATH keys a new dir, and pytest tmp fixtures mint a
@@ -78,36 +81,44 @@ def _prune_stale_scratch() -> None:
         return
     import time
 
+    def pid_state(pid_s: str) -> str:
+        """'dead' | 'alive' | 'unknown' for a candidate pid segment."""
+        if not pid_s.isdigit():
+            return "unknown"
+        pid = int(pid_s)
+        if pid == os.getpid():
+            return "alive"
+        try:
+            os.kill(pid, 0)
+            return "alive"
+        except ProcessLookupError:
+            return "dead"
+        except OSError:  # EPERM etc. — can't probe liveness
+            return "unknown"
+
     now = time.time()
     for name in entries:
         path = os.path.join(_SCRATCH, name)
         try:
             expired = now - os.path.getmtime(path) > _SCRATCH_MAX_AGE_S
-            if name.startswith(("feb_", "stream_sink_", "stream_src_")):
-                if expired:
-                    shutil.rmtree(path, ignore_errors=True)
+            if name.startswith(("feb_", "stream_sink_")):
+                # <prefix>_<pid>_<uuid>; legacy names carried no pid
+                # and fall through to the age gate as "unknown".
+                parts = name.split("_")
+                state = pid_state(parts[-2] if len(parts) >= 3 else "")
+            elif name.startswith("stream_src_"):
+                state = "unknown"  # keyed, shared across processes
             # Bare "late_stream" prefix, not "late_stream_": it must
             # also sweep the pre-rename "late_stream3_*" generation
             # already on disk (same _<pid> suffix contract).
             elif name.startswith("late_stream"):
-                pid_s = name.rsplit("_", 1)[-1]
-                if not pid_s.isdigit():
-                    continue
-                pid = int(pid_s)
-                if pid == os.getpid():
-                    continue
-                try:
-                    os.kill(pid, 0)
-                    dead = False
-                    inconclusive = False
-                except ProcessLookupError:
-                    dead = True
-                    inconclusive = False
-                except OSError:  # EPERM etc. — can't probe liveness
-                    dead = False
-                    inconclusive = True
-                if dead or (inconclusive and expired):
-                    shutil.rmtree(path, ignore_errors=True)
+                state = pid_state(name.rsplit("_", 1)[-1])
+                if state == "unknown":
+                    continue  # unrecognized name shape — never touch
+            else:
+                continue
+            if state == "dead" or (state == "unknown" and expired):
+                shutil.rmtree(path, ignore_errors=True)
         except OSError:
             continue
 
@@ -636,7 +647,9 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory (the custom-sink escape hatch — also how streaming joins
     arbitrary batch logic); returns the re-read result."""
     ev = stream_events(spark, sf_dir)
-    out_dir = os.path.join(_SCRATCH, f"stream_sink_{uuid.uuid4().hex[:8]}")
+    out_dir = os.path.join(
+        _SCRATCH, f"stream_sink_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -764,7 +777,7 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the returned frame re-aggregates across batches, so the result is
     batch-count-invariant.
     """
-    out_dir = os.path.join(_SCRATCH, f"feb_{uuid.uuid4().hex[:8]}")
+    out_dir = os.path.join(_SCRATCH, f"feb_{os.getpid()}_{uuid.uuid4().hex[:8]}")
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

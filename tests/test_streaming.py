@@ -272,15 +272,18 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     # pid must keep its split even then (a long-lived session reuses
     # its staging without ever refreshing the dir mtime).
     keep = {
-        "feb_fresh",
+        "feb_fresh",  # legacy pid-less name, inside the age gate
         "stream_src_fresh",
-        f"late_stream_sf_ab_{os.getpid()}",
+        f"feb_{os.getpid()}_aaaa1111",  # own pid — alive by definition
         "late_stream_sf_gh_1",
+        f"late_stream_sf_ab_{os.getpid()}",
     }
     prune = {
-        "feb_aged",
+        "feb_aged",  # legacy pid-less name, past the age gate
         "stream_sink_aged",
         "stream_src_aged",
+        f"feb_{dead_pid}_bbbb2222",  # dead pid — reclaimed while FRESH
+        f"stream_sink_{dead_pid}_cccc3333",
         f"late_stream_sf_cd_{dead_pid}",
         f"late_stream3_sf_legacy_{dead_pid}",  # pre-rename generation
     }

@@ -6,6 +6,8 @@ quality bounds instead.
 from __future__ import annotations
 
 import pytest
+from hypothesis import given as hyp_given
+from hypothesis import strategies as st
 
 from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
 from tests.conftest import TEST_SF_DIR
@@ -418,6 +420,36 @@ def test_ngram_prefix_filter_lossless_across_thresholds(spark):
             map(tuple, ngram_jaccard_pairs(docs, tau=tau, prefix_filter=True).collect())
         )
         assert plain == filtered, f"tau={tau}"
+
+
+@hyp_given(
+    num=st.integers(min_value=1, max_value=999),
+    den=st.integers(min_value=2, max_value=1000),
+    n=st.integers(min_value=1, max_value=10**6),
+)
+def test_prefix_ceil_nudge_is_sound_and_tight(num, den, n):
+    """ADVICE r6 regression net, arithmetic-level: the prefix filter
+    computes ⌈τ·n⌉ in doubles, but the caller means a RATIONAL τ (0.2,
+    9/11, …) whose double image times n can land one ulp above an
+    exact-integer product — unnudged ceil then returns k+1 and the
+    prefix shrinks below the lossless bound (τ=9/11, n=77: double ceil
+    64 vs exact 63; 2682 such cases in a 60×2000 grid).  The shipped
+    expression subtracts 1e-9 before ceil; python floats ARE IEEE
+    doubles and F.ceil is plain double ceil, so this mirrors the Spark
+    arithmetic operation-for-operation.  Sound: the nudged ceil never
+    exceeds the rational-arithmetic ceil (the prefix is never shorter
+    than lossless).  Tight: at most one below it (at most one extra
+    shingle joined per doc)."""
+    import math
+    from fractions import Fraction
+
+    tau = num / den  # the double the caller passes for rational num/den
+    if not 0.0 < tau <= 1.0:
+        return
+    nudged = math.ceil(tau * n - 1e-9)
+    exact = math.ceil(Fraction(num, den) * n)
+    assert nudged <= exact, f"prefix shorter than lossless at {num}/{den}, n={n}"
+    assert nudged >= exact - 1, f"prefix overlong at {num}/{den}, n={n}"
 
 
 def test_similarity_kernel_degenerate_inputs(spark):

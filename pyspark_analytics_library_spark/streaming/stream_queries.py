@@ -41,6 +41,16 @@ _SCRATCH_PRUNED = False
 #: a DataFrame backed by it has exited.
 _SCRATCH_MAX_AGE_S = 6 * 3600
 
+#: Grace window before a DEAD pid's dirs are reclaimed.  Pid liveness
+#: is a namespace-local signal: a driver in a sibling container
+#: bind-mounting the same checkout probes a pid from ANOTHER namespace
+#: and gets a false ProcessLookupError.  Sharing one checkout's
+#: .scratch across pid namespaces is out of contract, but the grace
+#: window keeps even that mistake from destroying a sink parquet
+#: minutes after a concurrent driver created it; reclamation still
+#: happens promptly enough that the population stops growing.
+_SCRATCH_DEAD_GRACE_S = 300
+
 
 def _prune_stale_scratch() -> None:
     """Bounded scratch janitor (VERDICT r6 #6 / ADVICE r6): two classes
@@ -50,10 +60,14 @@ def _prune_stale_scratch() -> None:
     * ``feb_*`` / ``stream_sink_*``: per-run foreachBatch sinks named
       ``<prefix>_<pid>_<uuid>``; the RETURNED DataFrame is backed by
       the parquet they hold, so the query cannot delete them at exit.
-      Reclaimed as soon as the owning pid is dead — which is what makes
-      the scratch population stop GROWING across replay sweeps instead
-      of plateauing at six hours' worth — with the age gate as the
-      fallback for legacy pid-less names and inconclusive liveness.
+      Reclaimed once the owning pid is dead AND the dir is past the
+      short ``_SCRATCH_DEAD_GRACE_S`` window (liveness is a
+      namespace-local signal — the grace keeps a false 'dead' from a
+      sibling pid namespace from destroying a fresh sink) — which is
+      what makes the scratch population stop GROWING across replay
+      sweeps instead of plateauing at six hours' worth.  The age gate
+      is the fallback for legacy pid-less names and inconclusive
+      liveness.
     * ``stream_src_*``: deterministic-keyed events staging (a dir with
       one symlink), reused across processes — but every distinct
       fixture PATH keys a new dir, and pytest tmp fixtures mint a
@@ -81,11 +95,18 @@ def _prune_stale_scratch() -> None:
         return
     import time
 
-    def pid_state(pid_s: str) -> str:
-        """'dead' | 'alive' | 'unknown' for a candidate pid segment."""
-        if not pid_s.isdigit():
-            return "unknown"
-        pid = int(pid_s)
+    def pid_state(pid_s: str) -> str | None:
+        """'dead' | 'alive' | 'unknown' for a pid segment, or None when
+        the segment is not a sane pid at all (including Unicode digits
+        that pass isdigit() but fail int(), and values past the C-long
+        range that make os.kill raise OverflowError — neither is an
+        OSError, so they must not reach the loop's handler)."""
+        try:
+            pid = int(pid_s) if pid_s.isascii() and pid_s.isdigit() else None
+        except ValueError:
+            return None
+        if pid is None or pid > 2**31 - 1:
+            return None
         if pid == os.getpid():
             return "alive"
         try:
@@ -100,12 +121,14 @@ def _prune_stale_scratch() -> None:
     for name in entries:
         path = os.path.join(_SCRATCH, name)
         try:
-            expired = now - os.path.getmtime(path) > _SCRATCH_MAX_AGE_S
+            age = now - os.path.getmtime(path)
+            expired = age > _SCRATCH_MAX_AGE_S
             if name.startswith(("feb_", "stream_sink_")):
                 # <prefix>_<pid>_<uuid>; legacy names carried no pid
-                # and fall through to the age gate as "unknown".
+                # and fall through to the age gate as unknown.
                 parts = name.split("_")
-                state = pid_state(parts[-2] if len(parts) >= 3 else "")
+                state = pid_state(parts[-2]) if len(parts) >= 3 else None
+                state = state or "unknown"
             elif name.startswith("stream_src_"):
                 state = "unknown"  # keyed, shared across processes
             # Bare "late_stream" prefix, not "late_stream_": it must
@@ -113,13 +136,15 @@ def _prune_stale_scratch() -> None:
             # already on disk (same _<pid> suffix contract).
             elif name.startswith("late_stream"):
                 state = pid_state(name.rsplit("_", 1)[-1])
-                if state == "unknown":
+                if state is None:
                     continue  # unrecognized name shape — never touch
             else:
                 continue
-            if state == "dead" or (state == "unknown" and expired):
+            if (state == "dead" and age > _SCRATCH_DEAD_GRACE_S) or (
+                state == "unknown" and expired
+            ):
                 shutil.rmtree(path, ignore_errors=True)
-        except OSError:
+        except Exception:  # noqa: BLE001 — janitor is best-effort by contract
             continue
 
 

@@ -443,9 +443,10 @@ def test_prefix_ceil_nudge_is_sound_and_tight(num, den, n):
     import math
     from fractions import Fraction
 
+    from hypothesis import assume
+
+    assume(num <= den)  # τ ≤ 1; assume() discards instead of vacuously passing
     tau = num / den  # the double the caller passes for rational num/den
-    if not 0.0 < tau <= 1.0:
-        return
     nudged = math.ceil(tau * n - 1e-9)
     exact = math.ceil(Fraction(num, den) * n)
     assert nudged <= exact, f"prefix shorter than lossless at {num}/{den}, n={n}"

@@ -266,38 +266,45 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     p.wait()
     dead_pid = p.pid
 
-    aged = time.time() - sq._SCRATCH_MAX_AGE_S - 60
+    now = time.time()
+    aged = now - sq._SCRATCH_MAX_AGE_S - 60  # past the 6 h gate
+    graced = now - sq._SCRATCH_DEAD_GRACE_S - 60  # past dead-pid grace only
     # late_stream_sf_gh_1: pid 1 is init — alive for the life of the
     # container — and its dir is aged past the gate; a CONFIRMED-live
     # pid must keep its split even then (a long-lived session reuses
-    # its staging without ever refreshing the dir mtime).
+    # its staging without ever refreshing the dir mtime).  The
+    # superscript-³ and the >C-long pid are hostile name shapes that
+    # must be skipped, not crash the best-effort janitor.
     keep = {
-        "feb_fresh",  # legacy pid-less name, inside the age gate
-        "stream_src_fresh",
-        f"feb_{os.getpid()}_aaaa1111",  # own pid — alive by definition
-        "late_stream_sf_gh_1",
-        f"late_stream_sf_ab_{os.getpid()}",
+        "feb_fresh": None,  # legacy pid-less name, inside the age gate
+        "stream_src_fresh": None,
+        f"feb_{os.getpid()}_aaaa1111": None,  # own pid — alive by definition
+        "late_stream_sf_gh_1": aged,
+        f"late_stream_sf_ab_{os.getpid()}": None,
+        f"feb_{dead_pid}_ingrace": None,  # dead but FRESH — grace holds it
+        "feb_³_x": None,  # isdigit() but not int()-able
+        "late_stream_sf_huge_99999999999999999999": None,
     }
     prune = {
-        "feb_aged",  # legacy pid-less name, past the age gate
-        "stream_sink_aged",
-        "stream_src_aged",
-        f"feb_{dead_pid}_bbbb2222",  # dead pid — reclaimed while FRESH
-        f"stream_sink_{dead_pid}_cccc3333",
-        f"late_stream_sf_cd_{dead_pid}",
-        f"late_stream3_sf_legacy_{dead_pid}",  # pre-rename generation
+        "feb_aged": aged,  # legacy pid-less name, past the age gate
+        "stream_sink_aged": aged,
+        "stream_src_aged": aged,
+        f"feb_{dead_pid}_bbbb2222": graced,  # dead + past grace
+        f"stream_sink_{dead_pid}_cccc3333": graced,
+        f"late_stream_sf_cd_{dead_pid}": graced,
+        f"late_stream3_sf_legacy_{dead_pid}": graced,  # pre-rename generation
     }
-    for name in keep | prune:
+    for name, mtime in {**keep, **prune}.items():
         d = tmp_path / name
         d.mkdir()
         (d / "payload").write_text("x")
-        if "aged" in name or name == "late_stream_sf_gh_1":
-            os.utime(d, (aged, aged))
+        if mtime is not None:
+            os.utime(d, (mtime, mtime))
 
     monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))
     monkeypatch.setattr(sq, "_SCRATCH_PRUNED", False)
     sq._prune_stale_scratch()
-    assert {e.name for e in tmp_path.iterdir()} == keep
+    assert {e.name for e in tmp_path.iterdir()} == set(keep)
     # The latch makes the second call a no-op even with new leaks.
     (tmp_path / f"late_stream_sf_ef_{dead_pid}").mkdir()
     sq._prune_stale_scratch()

@@ -453,6 +453,45 @@ def test_prefix_ceil_nudge_is_sound_and_tight(num, den, n):
     assert nudged >= exact - 1, f"prefix overlong at {num}/{den}, n={n}"
 
 
+def test_freqitems_superset_of_true_heavy_hitters(spark):
+    """df.stat.freqItems implements the Karp-Papadimitriou-Shenker
+    frequent-elements sketch, whose contract is NO FALSE NEGATIVES:
+    every value with true frequency above support·n must appear in the
+    result (false positives are allowed).  The declared query
+    serializes its sorted arrays to JSON, so parse them back and check
+    the superset relation against exact groupBy counts — the value
+    attestation backing agg_freqitems' rows-only driver green, the
+    same role the embedded self-check plays for agg_describe."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    row = REGISTRY["agg_freqitems"].fn(spark, TEST_SF_DIR).collect()[0]
+    li = load_tables(spark, TEST_SF_DIR)["lineitem"]
+    n = li.count()
+    for col, out_col in (
+        ("l_quantity", "l_quantity_freqitems"),
+        ("l_returnflag", "l_returnflag_freqitems"),
+    ):
+        got = set(json.loads(row[out_col]))
+        heavy = {
+            r[0]
+            for r in li.groupBy(col)
+            .count()
+            .filter(F.col("count") > 0.1 * n)
+            .collect()
+        }
+        if col == "l_returnflag":
+            # 3 flags over 10% support each — the non-vacuous case;
+            # l_quantity is ~uniform over ~50 values at fixture scale,
+            # so its heavy set is legitimately empty (superset trivially
+            # holds) and only the no-crash/parse path is exercised.
+            assert heavy, f"{col}: fixture has no heavy hitters — test is vacuous"
+        assert heavy <= got, f"{col}: missing heavy hitters {heavy - got}"
+
+
 def test_similarity_kernel_degenerate_inputs(spark):
     """Empty corpora and zero vectors must degrade gracefully: an empty
     index yields zero pairs/neighbors (not a numpy stack crash — the

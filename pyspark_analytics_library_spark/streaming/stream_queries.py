@@ -97,15 +97,15 @@ def _prune_stale_scratch() -> None:
 
     def pid_state(pid_s: str) -> str | None:
         """'dead' | 'alive' | 'unknown' for a pid segment, or None when
-        the segment is not a sane pid at all (including Unicode digits
-        that pass isdigit() but fail int(), and values past the C-long
-        range that make os.kill raise OverflowError — neither is an
-        OSError, so they must not reach the loop's handler)."""
-        try:
-            pid = int(pid_s) if pid_s.isascii() and pid_s.isdigit() else None
-        except ValueError:
+        the segment is not a sane pid at all: the ascii+digit guard
+        rejects Unicode 'digits' that pass isdigit() but fail int(),
+        and the range cap rejects values past the C-long range that
+        make os.kill raise OverflowError — neither failure is an
+        OSError, so neither may reach the loop's handler."""
+        if not (pid_s.isascii() and pid_s.isdigit()):
             return None
-        if pid is None or pid > 2**31 - 1:
+        pid = int(pid_s)
+        if pid > 2**31 - 1:
             return None
         if pid == os.getpid():
             return "alive"

@@ -53,6 +53,12 @@ HEADLINE = {
     "graph_triangles": "graph_triangles",
     "graph_pagerank": "graph_pagerank_nations",
     "resample_interp": "ts_resample_interp",
+    # Round-8 addition: agg_describe is the third-heaviest
+    # non-streaming query (summary() multi-statistic pass + its r7
+    # embedded self-check) and lived outside BENCH's regression radar
+    # (VERDICT r7 #6) — reference row in BASELINE.md §"Round-8
+    # regression reference".
+    "describe_summary": "agg_describe",
 }
 
 #: Round-3 additions — excluded from the headline `value` so it stays
@@ -67,6 +73,7 @@ EXTENDED = {
     "graph_triangles",
     "graph_pagerank",
     "resample_interp",
+    "describe_summary",
 }
 
 
@@ -84,7 +91,10 @@ def main() -> None:
     # timed region must rebuild the DataFrame — re-collecting the
     # returned frame would only re-read the final checkpoint / replay
     # the cheap tail aggregates.
-    iterative = {"dedup_components", "graph_triangles"}
+    # agg_describe belongs here too: its embedded self-check (summary
+    # cells parsed back vs direct aggregates) runs eagerly inside
+    # fn(), and the bench row exists to watch exactly that cost.
+    iterative = {"dedup_components", "graph_triangles", "describe_summary"}
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -34,6 +34,18 @@ _SCRATCH = os.path.join(
 
 
 def _scratch(name: str) -> str:
+    # Janitor the shared .scratch root first (latched: one pass per
+    # process), so a replay that only runs the roundtrip queries still
+    # reclaims dead-pid leftovers — the pid<NNN> dirs this module
+    # creates were the dominant residual leak when only streaming
+    # queries pruned (VERDICT r7 #2).  Lazy import: stream_queries
+    # pulls in nothing from this module, but keeping the dependency
+    # out of import time keeps both modules independently importable.
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _prune_stale_scratch,
+    )
+
+    _prune_stale_scratch()
     os.makedirs(_SCRATCH, exist_ok=True)
     path = os.path.join(_SCRATCH, name)
     shutil.rmtree(path, ignore_errors=True)

@@ -82,6 +82,16 @@ def _prune_stale_scratch() -> None:
       legitimately reuses its staged split without refreshing any
       mtime — so a concurrent driver mid-stream is safe.  The age gate
       applies only when liveness is inconclusive (EPERM).
+    * ``pid<NNN>``: per-process sink scratch for the nine
+      write-then-re-read roundtrip queries (sources/scan_queries.py) —
+      the dominant residual leak class before round 8 (81 dirs /
+      64 MB): one dir per process, forever, because the returned
+      DataFrame is backed by the parquet inside, so the owning process
+      cannot delete it at exit.  Same discipline as ``late_stream``:
+      dead pid + grace → reclaim; confirmed-live pid → never touched
+      at any age; inconclusive liveness → age gate only.
+      ``scan_queries._scratch()`` also invokes this janitor, so
+      non-streaming replays prune too (VERDICT r7 #2).
 
     Best-effort throughout: a racing deleter or permission hiccup must
     never fail the query doing the janitoring."""
@@ -138,6 +148,12 @@ def _prune_stale_scratch() -> None:
                 state = pid_state(name.rsplit("_", 1)[-1])
                 if state is None:
                     continue  # unrecognized name shape — never touch
+            elif name.startswith("pid"):
+                # pid<NNN> scan-sink scratch (scan_queries._SCRATCH):
+                # the whole suffix is the pid — no uuid segment.
+                state = pid_state(name[3:])
+                if state is None:
+                    continue  # e.g. a stray "pidfile" — never touch
             else:
                 continue
             if (state == "dead" and age > _SCRATCH_DEAD_GRACE_S) or (
@@ -182,6 +198,15 @@ def _staged_events_dir(sf_dir: str) -> str:
         tmp = os.path.join(d, f".events_{os.getpid()}_{uuid.uuid4().hex[:6]}")
         os.symlink(target, tmp)
         os.replace(tmp, link)
+    # Reset the janitor age clock on EVERY reuse, not just restaging
+    # (ADVICE r7): the 6 h gate is the only protection this shared
+    # keyed class has, and a long-lived session reusing a staged dir
+    # whose mtime has quietly aged past it could otherwise have the
+    # dir rmtree'd by a sibling process's janitor mid-stream.
+    try:
+        os.utime(d)
+    except OSError:
+        pass
     return d
 
 

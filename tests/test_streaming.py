@@ -265,6 +265,9 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     p = subprocess.Popen(["true"])
     p.wait()
     dead_pid = p.pid
+    p2 = subprocess.Popen(["true"])
+    p2.wait()
+    dead_pid2 = p2.pid  # distinct dead pid for the pruned pid<NNN> case
 
     now = time.time()
     aged = now - sq._SCRATCH_MAX_AGE_S - 60  # past the 6 h gate
@@ -284,6 +287,14 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
         f"feb_{dead_pid}_ingrace": None,  # dead but FRESH — grace holds it
         "feb_³_x": None,  # isdigit() but not int()-able
         "late_stream_sf_huge_99999999999999999999": None,
+        # pid<NNN> scan-sink scratch (round-8 class): own pid is alive
+        # by definition even past the age gate; pid 1 is init — a
+        # confirmed-live pid keeps its sinks at any age; dead-but-fresh
+        # is held by the grace; "pidfile" is not a pid shape at all.
+        f"pid{os.getpid()}": aged,
+        "pid1": aged,
+        f"pid{dead_pid}": None,  # dead but FRESH — grace holds it
+        "pidfile": aged,  # suffix isn't a pid — never touch
     }
     prune = {
         "feb_aged": aged,  # legacy pid-less name, past the age gate
@@ -293,6 +304,7 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
         f"stream_sink_{dead_pid}_cccc3333": graced,
         f"late_stream_sf_cd_{dead_pid}": graced,
         f"late_stream3_sf_legacy_{dead_pid}": graced,  # pre-rename generation
+        f"pid{dead_pid2}": graced,  # dead + past grace — reclaimed
     }
     for name, mtime in {**keep, **prune}.items():
         d = tmp_path / name
@@ -309,6 +321,34 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     (tmp_path / f"late_stream_sf_ef_{dead_pid}").mkdir()
     sq._prune_stale_scratch()
     assert f"late_stream_sf_ef_{dead_pid}" in {e.name for e in tmp_path.iterdir()}
+
+
+def test_scan_scratch_invokes_janitor(tmp_path, monkeypatch):
+    """`scan_queries._scratch()` must run the janitor too, so a replay
+    that never touches a streaming query still reclaims dead-pid
+    scan-sink dirs — the pre-round-8 leak was exactly this class
+    accumulating because only streaming queries pruned (VERDICT r7 #2)."""
+    import os
+    import subprocess
+    import time
+
+    import pyspark_analytics_library_spark.sources.scan_queries as scq
+    import pyspark_analytics_library_spark.streaming.stream_queries as sq
+
+    p = subprocess.Popen(["true"])
+    p.wait()
+    leaked = tmp_path / f"pid{p.pid}"
+    leaked.mkdir()
+    (leaked / "payload").write_text("x")
+    graced = time.time() - sq._SCRATCH_DEAD_GRACE_S - 60
+    os.utime(leaked, (graced, graced))
+
+    monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))
+    monkeypatch.setattr(sq, "_SCRATCH_PRUNED", False)
+    monkeypatch.setattr(scq, "_SCRATCH", str(tmp_path / f"pid{os.getpid()}"))
+    path = scq._scratch("sink_probe")
+    assert not leaked.exists()
+    assert path.endswith(os.path.join(f"pid{os.getpid()}", "sink_probe"))
 
 
 def test_cells_match_admits_one_grid_step_rejects_two():

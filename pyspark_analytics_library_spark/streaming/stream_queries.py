@@ -301,7 +301,16 @@ def _cells_match(a, b) -> bool:
     rel_tol is 0: ``math.isclose`` defaults rel_tol=1e-9, which would
     silently DOMINATE abs_tol once |v| exceeds ~1.5e5 (at 1e6 the
     effective tolerance becomes 1e-3 ≈ ten grid steps), voiding the
-    one-step guarantee exactly where big SUMs live — ADVICE r6."""
+    one-step guarantee exactly where big SUMs live — ADVICE r6.
+
+    Upper validity bound (ADVICE r7): once |v| reaches ~1e12 one double
+    ulp (ulp(2^40) ≈ 2.4e-4) exceeds the 1.5e-4 abs_tol and the
+    one-grid-step property degrades to exact-equality — a legitimate
+    one-step divergence would then FAIL loudly (never pass wrongly).
+    Current parity cells top out ~1e9 (sf0.1 sums), three orders below
+    the cliff; if fixtures ever grow there, widen to
+    ``max(1.5e-4, 4 * math.ulp(max(|a|, |b|)))`` rather than
+    reintroducing rel_tol."""
     if isinstance(a, float) and isinstance(b, float):
         return math.isclose(a, b, rel_tol=0.0, abs_tol=1.5e-4)
     return a == b

@@ -124,7 +124,14 @@ def _prune_stale_scratch() -> None:
             return "alive"
         except ProcessLookupError:
             return "dead"
-        except OSError:  # EPERM etc. — can't probe liveness
+        except PermissionError:
+            # EPERM from kill(pid, 0) proves the process EXISTS (we
+            # just lack signal permission) — POSIX kill(2).  Treating
+            # it as 'unknown' would subject a live other-uid process's
+            # dirs to the age-gate rmtree while its returned DataFrame
+            # may still be backed by parquet inside (ADVICE r8).
+            return "alive"
+        except OSError:  # anything else — can't probe liveness
             return "unknown"
 
     now = time.time()
@@ -159,6 +166,21 @@ def _prune_stale_scratch() -> None:
             if (state == "dead" and age > _SCRATCH_DEAD_GRACE_S) or (
                 state == "unknown" and expired
             ):
+                # Re-stat immediately before rmtree (ADVICE r8): a
+                # sibling process's utime refresh (e.g. the keyed
+                # stream_src_* reuse clock reset) landing between the
+                # age computation above and the delete would otherwise
+                # be ignored.  Shrinks — cannot fully close — the
+                # TOCTOU window; the residual race is accepted for a
+                # best-effort janitor (the 6 h gate plus the per-reuse
+                # refresh make a mid-stream deletion require a >6 h
+                # stat-to-delete stall).
+                if time.time() - os.path.getmtime(path) <= (
+                    _SCRATCH_DEAD_GRACE_S
+                    if state == "dead"
+                    else _SCRATCH_MAX_AGE_S
+                ):
+                    continue
                 shutil.rmtree(path, ignore_errors=True)
         except Exception:  # noqa: BLE001 — janitor is best-effort by contract
             continue
@@ -303,16 +325,22 @@ def _cells_match(a, b) -> bool:
     effective tolerance becomes 1e-3 ≈ ten grid steps), voiding the
     one-step guarantee exactly where big SUMs live — ADVICE r6.
 
-    Upper validity bound (ADVICE r7): once |v| reaches ~1e12 one double
-    ulp (ulp(2^40) ≈ 2.4e-4) exceeds the 1.5e-4 abs_tol and the
-    one-grid-step property degrades to exact-equality — a legitimate
-    one-step divergence would then FAIL loudly (never pass wrongly).
-    Current parity cells top out ~1e9 (sf0.1 sums), three orders below
-    the cliff; if fixtures ever grow there, widen to
-    ``max(1.5e-4, 4 * math.ulp(max(|a|, |b|)))`` rather than
-    reintroducing rel_tol."""
+    Large-magnitude floor (ADVICE r7 / VERDICT r8 #3): once |v|
+    reaches ~1e12 one double ulp (ulp(2^40) ≈ 2.4e-4) exceeds a flat
+    1.5e-4 and the one-grid-step property would silently degrade to
+    exact-equality — a legitimate one-step divergence failing loudly
+    exactly where sf≥1 parity sums land.  So the tolerance is
+    ``max(1.5e-4, 4 * ulp(max(|a|, |b|)))``: below ~2.6e11 the ulp
+    term is under 1.5e-4 and the grid bound governs unchanged; above,
+    four ulps admit summation-order noise (a tree-vs-sequential double
+    sum of n terms differs by O(n) ulps of the result — 4 covers the
+    per-cell partial-merge depth) while still rejecting any real
+    divergence, which at those magnitudes dwarfs ulp scale.  rel_tol
+    stays 0 — a blanket rel_tol=1e-9 would be ~4000 ulps at ANY
+    magnitude, three orders looser than this floor."""
     if isinstance(a, float) and isinstance(b, float):
-        return math.isclose(a, b, rel_tol=0.0, abs_tol=1.5e-4)
+        tol = max(1.5e-4, 4.0 * math.ulp(max(abs(a), abs(b))))
+        return math.isclose(a, b, rel_tol=0.0, abs_tol=tol)
     return a == b
 
 

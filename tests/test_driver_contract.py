@@ -187,3 +187,41 @@ def test_priority_pins_expire_after_clearing_round(monkeypatch):
     )
     order = list(reg.ordered_registry())
     assert set(order[-len(reg._PRIORITY):]) == set(reg._PRIORITY)
+
+
+def test_describe_self_check_conf_switch(spark, monkeypatch):
+    """`spark.analytics.describe.selfCheck` (VERDICT r8 #4): default
+    true keeps the embedded parse-back attestation (two bounded eager
+    collects inside the query body); false must skip the extra eager
+    job entirely — zero internal collects, plan stays lazy — while
+    returning the identical summary frame."""
+    from pyspark_analytics_library_spark.registry import REGISTRY
+
+    # Patch the CONCRETE DataFrame class (pyspark.sql.classic.…):
+    # patching the abstract pyspark.sql.DataFrame would be shadowed by
+    # the subclass override and count nothing.
+    DataFrame = type(spark.range(1))
+
+    fn = REGISTRY["agg_describe"].fn
+    calls = {"n": 0}
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    try:
+        spark.conf.set("spark.analytics.describe.selfCheck", "false")
+        lazy = fn(spark, TEST_SF_DIR)
+        assert calls["n"] == 0, "selfCheck=false must not run eager jobs"
+        rows_off = sorted(map(tuple, lazy.collect()))
+
+        calls["n"] = 0
+        spark.conf.set("spark.analytics.describe.selfCheck", "true")
+        attested = fn(spark, TEST_SF_DIR)
+        assert calls["n"] >= 2, "default path must run the parse-back jobs"
+        rows_on = sorted(map(tuple, attested.collect()))
+    finally:
+        spark.conf.unset("spark.analytics.describe.selfCheck")
+    assert rows_off == rows_on

@@ -275,9 +275,13 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     # late_stream_sf_gh_1: pid 1 is init — alive for the life of the
     # container — and its dir is aged past the gate; a CONFIRMED-live
     # pid must keep its split even then (a long-lived session reuses
-    # its staging without ever refreshing the dir mtime).  The
-    # superscript-³ and the >C-long pid are hostile name shapes that
-    # must be skipped, not crash the best-effort janitor.
+    # its staging without ever refreshing the dir mtime).  On an
+    # unprivileged runner kill(1, 0) raises EPERM rather than
+    # succeeding — which still proves pid 1 exists, and pid_state maps
+    # PermissionError to 'alive' (ADVICE r8), so this case is
+    # privilege-independent.  The superscript-³ and the >C-long pid
+    # are hostile name shapes that must be skipped, not crash the
+    # best-effort janitor.
     keep = {
         "feb_fresh": None,  # legacy pid-less name, inside the age gate
         "stream_src_fresh": None,
@@ -321,6 +325,39 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
     (tmp_path / f"late_stream_sf_ef_{dead_pid}").mkdir()
     sq._prune_stale_scratch()
     assert f"late_stream_sf_ef_{dead_pid}" in {e.name for e in tmp_path.iterdir()}
+
+
+def test_scratch_janitor_eperm_means_alive(tmp_path, monkeypatch):
+    """kill(pid, 0) → EPERM proves the process EXISTS (POSIX kill(2)):
+    the janitor must treat it as confirmed-live and keep the dir at ANY
+    age — not degrade to 'unknown' and age-gate a live other-uid
+    process's scratch (ADVICE r8)."""
+    import os
+    import time
+
+    import pyspark_analytics_library_spark.streaming.stream_queries as sq
+
+    real_kill = os.kill
+
+    def eperm_kill(pid, sig):
+        if pid == 4242:
+            raise PermissionError("simulated other-uid live process")
+        return real_kill(pid, sig)
+
+    monkeypatch.setattr(os, "kill", eperm_kill)
+    aged = time.time() - sq._SCRATCH_MAX_AGE_S - 60
+    for name in ("pid4242", "late_stream_sf_xy_4242", "feb_4242_dddd4444"):
+        d = tmp_path / name
+        d.mkdir()
+        os.utime(d, (aged, aged))
+    monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))
+    monkeypatch.setattr(sq, "_SCRATCH_PRUNED", False)
+    sq._prune_stale_scratch()
+    assert {e.name for e in tmp_path.iterdir()} == {
+        "pid4242",
+        "late_stream_sf_xy_4242",
+        "feb_4242_dddd4444",
+    }
 
 
 def test_scan_scratch_invokes_janitor(tmp_path, monkeypatch):
@@ -371,6 +408,29 @@ def test_cells_match_admits_one_grid_step_rejects_two():
     # the sole bound at every magnitude (ADVICE r6).
     assert _cells_match(1234567.1234, 1234567.1235)
     assert not _cells_match(1234567.1234, 1234567.1236)
+
+
+@hyp_given(st.floats(min_value=1e11, max_value=1e15), st.integers(1, 4))
+def test_cells_match_ulp_floor_at_large_magnitudes(x, k):
+    """PROPERTY (VERDICT r8 #3): above ~2.6e11, where one double ulp
+    exceeds the flat 1.5e-4 grid bound, the tolerance floor is 4 ulps —
+    a k≤4-ulp summation-order divergence must PASS (the flat bound
+    alone would degrade to exact equality there) and a 16-ulp
+    divergence must still FAIL.  Magnitude range brackets the sf≈1
+    parity-sum scale the flat bound could not serve."""
+    import math
+
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _cells_match,
+    )
+
+    y = x
+    for _ in range(k):
+        y = math.nextafter(y, math.inf)
+    assert _cells_match(x, y)
+    far = x + 16.0 * math.ulp(x)
+    if far - x > 1.5e-4:  # guard: near 1e11 sixteen ulps can sit under the grid bound
+        assert not _cells_match(x, far)
 
 
 def test_group_matching_backtracks_past_greedy_order():

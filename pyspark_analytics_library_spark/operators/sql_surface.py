@@ -63,23 +63,30 @@ def q_sql_ansi_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 4 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     ORDER BY o_orderkey
     """,
 )
 def q_sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated scalar subquery: orders above 4× the global mean.
+    """Uncorrelated scalar subquery: orders above 1.5× the global mean.
 
     Catalyst executes the subquery once as a single-row aggregate and
     broadcasts the scalar into the filter — at 100 TB that is one
     reduce to one row plus a map-only filtered scan, no join shuffle.
+
+    The 1.5 multiplier is load-bearing for attestation: the synthetic
+    orders table has max/avg ≈ 2.0, so any threshold ≥ 2× selects ZERO
+    rows at every fixture SF and the oracle hash compares nothing
+    (both engines vacuously agree on empty).  1.5× keeps ~6 % of
+    orders in the result at sf0.001/0.01/0.1, making the driver's
+    value hash a real check.
     """
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 4 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
         ORDER BY o_orderkey
         """
     )

@@ -74,6 +74,40 @@ def test_every_oracle_name_has_query():
     assert set(o) <= set(q)
 
 
+def test_no_oracle_is_vacuous_at_driver_sf():
+    """Every oracle must select at least one row at the driver's
+    attestation scale (sf0.01): an empty result makes the driver's
+    value hash compare nothing — both engines vacuously agree on
+    empty, and the green row attests no values.  Caught live in
+    round 9: ``sql_subquery_scalar``'s 4×-mean threshold selected
+    zero rows at EVERY fixture SF (max/avg ≈ 2 in the synthetic
+    orders table) and had been vacuously hash-green since round 2.
+
+    DuckDB-only (no Spark session): the point is the oracle's
+    selectivity, and the differential tests already prove the Spark
+    side matches it.
+    """
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    empty = [
+        name
+        for name, sql in e.oracle_sql().items()
+        if con.execute(f"SELECT count(*) FROM ({sql}) x").fetchone()[0] == 0
+    ]
+    assert empty == [], f"vacuous oracles at sf0.01: {empty}"
+
+
 def test_missing_sf_dir_raises_clean_error(spark):
     """A bad data dir must fail eagerly with Spark's AnalysisException
     (path not found), not a worker-side crash mid-query."""

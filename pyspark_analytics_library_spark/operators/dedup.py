@@ -310,14 +310,26 @@ def ngram_jaccard_pairs(
     candidate-volume work — the standard filter-then-verify split).
 
     The threshold filters the UNROUNDED ratio (identical IEEE division
-    on both engines); only the output column is rounded."""
+    on both engines); only the output column is rounded.
+
+    Every join below carries an explicit ``merge`` hint: all sides —
+    posting lists, the shingle-df vocabulary, candidates, and the
+    full shingle-array table — are CORPUS-sized, and Catalyst's static
+    planner estimates them from the pre-explode parquet file size,
+    which text compression can understate by orders of magnitude.
+    The round-9 sf≈10 probe (1 M docs in a 4.5 MB file — 100×
+    -duplicated text) demonstrated the failure: every join planned
+    BroadcastHashJoin and the build died with
+    notEnoughMemoryToBuildAndBroadcastTable.  A corpus-sized side must
+    never be statically broadcast; sort-merge is the scale-safe
+    strategy, and at fixture scale the cost is milliseconds."""
     sh = docs.select("doc_id", "lang", word_shingles(F.col("text")).alias("sh"))
     posts = sh.select(
         "doc_id", "lang", F.size("sh").alias("n"), F.explode("sh").alias("s")
     )
     if prefix_filter:
         dfreq = posts.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("df"))
-        ranked = posts.join(dfreq, ["lang", "s"]).withColumn(
+        ranked = posts.join(dfreq.hint("merge"), ["lang", "s"]).withColumn(
             "pos",
             F.row_number().over(
                 Window.partitionBy("doc_id").orderBy("df", "s")
@@ -345,7 +357,7 @@ def ngram_jaccard_pairs(
         )
         cand = (
             pa.join(
-                pb,
+                pb.hint("merge"),
                 (F.col("s") == F.col("s_b"))
                 & (F.col("lang") == F.col("lang_b"))
                 & (F.col("id_a") < F.col("id_b")),
@@ -355,11 +367,15 @@ def ngram_jaccard_pairs(
         )
         verified = (
             cand.join(
-                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+                sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).hint(
+                    "merge"
+                ),
                 "id_a",
             )
             .join(
-                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+                sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
+                    "merge"
+                ),
                 "id_b",
             )
             .select(
@@ -383,7 +399,7 @@ def ngram_jaccard_pairs(
         )
         verified = (
             a.join(
-                b,
+                b.hint("merge"),
                 (F.col("s") == F.col("s_b"))
                 & (F.col("lang") == F.col("lang_b"))
                 & (F.col("id_a") < F.col("id_b")),

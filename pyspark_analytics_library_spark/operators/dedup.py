@@ -101,6 +101,10 @@ def minhash_lsh_pairs(
     3. band key = xxhash64 over each band's rows; explode (band_id, key);
     4. equi-join docs sharing a (band_id, key) bucket → candidates;
     5. exact-Jaccard verification of candidates only.
+    The bucket self-join and both shingle-array verify joins carry
+    explicit merge hints: all sides are text-exploded and corpus-sized,
+    the class the static planner mis-broadcasts off compressed file
+    estimates (see ngram_jaccard_pairs for the measured failure).
     At 100 TB: no O(n²) stage exists; the bucket join shuffles each doc
     ``bands`` times; skew from degenerate buckets is AQE-split.
     """
@@ -144,7 +148,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"), "band_id", "band_hash"
     )
     candidates = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b.hint("merge"), ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -152,8 +156,8 @@ def minhash_lsh_pairs(
     sh_a = shingled.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        candidates.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
+        candidates.join(sh_a.hint("merge"), "id_a")
+        .join(sh_b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -320,12 +320,16 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
     decontamination gate every eval set needs before a training run.
 
     Shape: shingle both splits once (scan-side explode), then a
-    broadcast-able semi-join from test shingles into the train shingle
-    set on (lang, gram) — at 100 TB the train side is the big one, so
-    production flips the join direction (semi-join test grams INTO the
-    train set stays an equi-join; a bloom filter on train grams cuts
-    the shuffle further).  Output is per-language counts, so nothing
-    document-sized leaves the executors."""
+    semi-join from test shingles into the train shingle set on
+    (lang, gram).  The train side is CORPUS-sized and carries an
+    explicit merge hint — the round-9 sf≈10 probe showed the static
+    planner broadcasting text-exploded sides off the compressed file
+    estimate — while the two bounded frames (`hits`, capped by the
+    eval set; the per-lang `contaminated` aggregate) are explicitly
+    broadcast, pinning the intended asymmetry regardless of stats.
+    (A bloom filter on train grams would cut the shuffle further.)
+    Output is per-language counts, so nothing document-sized leaves
+    the executors."""
     t = load_tables(spark, sf_dir)
     nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
     split = (
@@ -348,7 +352,7 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
     )
     hits = (
         test_grams.join(
-            train_grams,
+            train_grams.hint("merge"),
             (F.col("lang") == F.col("tr_lang")) & (F.col("g") == F.col("tr_g")),
             "left_semi",
         )
@@ -361,13 +365,15 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_test"))
     )
     contaminated = (
-        docs.join(hits, "doc_id", "left_semi")
+        docs.join(F.broadcast(hits), "doc_id", "left_semi")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .withColumnRenamed("lang", "c_lang")
     )
     return (
-        test_docs.join(contaminated, test_docs.lang == F.col("c_lang"), "left")
+        test_docs.join(
+            F.broadcast(contaminated), test_docs.lang == F.col("c_lang"), "left"
+        )
         .select(
             "lang",
             "n_test",

@@ -560,7 +560,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").cast("double").alias("n"))
     return (
-        words.join(freq, "w")
+        words.join(freq.hint("merge"), "w")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -352,3 +352,30 @@ def test_resample_interp_grid_build_is_broadcast(spark):
     assert "explode(sequence(" in nlj_tail, nlj_tail[:800]
     # events attach to the grid via hash join
     assert "BroadcastHashJoin" in text or "SortMergeJoin" in text, text
+
+
+def test_corpus_sized_join_sides_never_statically_broadcast(spark):
+    """The round-9 sf≈10 probe showed Catalyst statically broadcasting
+    corpus-sized, text-exploded join sides off the compressed parquet
+    file-size estimate (notEnoughMemoryToBuildAndBroadcastTable at
+    500k docs).  The merge hints pinning those joins shuffle-based must
+    survive refactors: at fixture scale the estimates make EVERY side
+    broadcast-eligible, so any BroadcastHashJoin appearing in these
+    plans means a hint was lost.  ``pipeline_contamination_check`` is
+    the asymmetric case: its train-gram side is merge-hinted while its
+    two provably-bounded frames are explicitly F.broadcast — exactly
+    two BroadcastHashJoins, no more, no fewer."""
+    for name in ("dedup_ngram_jaccard", "dedup_ngram_jaccard_prefixed",
+                 "dedup_fuzzy_minhash", "text_unigram_logprob"):
+        text = plan_text(REGISTRY[name].fn(spark, TEST_SF_DIR))
+        assert "BroadcastHashJoin" not in text, name
+        assert "SortMergeJoin" in text, name
+    import re
+
+    contam = plan_text(REGISTRY["pipeline_contamination_check"].fn(spark, TEST_SF_DIR))
+    # Formatted explain prints each node twice (tree + detail); count
+    # the "(NN) BroadcastHashJoin" detail headers, one per node.
+    bhj_nodes = re.findall(r"^\(\d+\) BroadcastHashJoin", contam, re.MULTILINE)
+    assert len(bhj_nodes) == 2, contam
+    # The corpus-sized train-gram semi-join must be the sort-merge one.
+    assert "SortMergeJoin LeftSemi" in contam, contam

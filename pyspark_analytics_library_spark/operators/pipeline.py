@@ -324,9 +324,14 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
     (lang, gram).  The train side is CORPUS-sized and carries an
     explicit merge hint — the round-9 sf≈10 probe showed the static
     planner broadcasting text-exploded sides off the compressed file
-    estimate — while the two bounded frames (`hits`, capped by the
-    eval set; the per-lang `contaminated` aggregate) are explicitly
-    broadcast, pinning the intended asymmetry regardless of stats.
+    estimate.  `hits` (the contaminated doc-id set) is CORPUS-
+    PROPORTIONAL too — the test split is a fixed 2/16 sha-nibble
+    fraction of the corpus, and in a heavily-duplicated corpus every
+    test doc can hit — so it carries the same merge hint (ADVICE r9:
+    an earlier revision pinned it F.broadcast, the exact static-
+    broadcast class the round-9 sweep removed elsewhere).  Only the
+    genuinely bounded frame — the per-LANGUAGE `contaminated`
+    aggregate, ≤ |languages| rows — is explicitly broadcast.
     (A bloom filter on train grams would cut the shuffle further.)
     Output is per-language counts, so nothing document-sized leaves
     the executors."""
@@ -365,7 +370,7 @@ def q_pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_test"))
     )
     contaminated = (
-        docs.join(F.broadcast(hits), "doc_id", "left_semi")
+        docs.join(hits.hint("merge"), "doc_id", "left_semi")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .withColumnRenamed("lang", "c_lang")

@@ -77,9 +77,10 @@ def q_sql_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 1.5 multiplier is load-bearing for attestation: the synthetic
     orders table has max/avg ≈ 2.0, so any threshold ≥ 2× selects ZERO
     rows at every fixture SF and the oracle hash compares nothing
-    (both engines vacuously agree on empty).  1.5× keeps ~6 % of
-    orders in the result at sf0.001/0.01/0.1, making the driver's
-    value hash a real check.
+    (both engines vacuously agree on empty).  1.5× keeps ~25 % of
+    orders in the result (measured: 380/1,500 at sf0.001, 3,717/15,000
+    at sf0.01 — the r9 driver row — 37,430/150,000 at sf0.1), making
+    the driver's value hash a real check.
     """
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(

@@ -7,6 +7,8 @@ and must return a well-formed DataFrame.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
@@ -86,10 +88,22 @@ def test_no_oracle_is_vacuous_at_driver_sf():
     DuckDB-only (no Spark session): the point is the oracle's
     selectivity, and the differential tests already prove the Spark
     side matches it.
+
+    The sf0.01 dir is derived as a sibling of the conftest fixture
+    root (override with SPARKALYTICS_DRIVER_SF), with a skip when
+    absent — checkouts whose fixtures live elsewhere must not fail
+    on a hardcoded /root/testdata path (ADVICE r9).
     """
     import duckdb
 
     import __spark_entry__ as e
+
+    driver_sf = os.environ.get(
+        "SPARKALYTICS_DRIVER_SF",
+        os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")), "sf0.01"),
+    )
+    if not os.path.isdir(driver_sf):
+        pytest.skip(f"driver-scale fixture dir not found: {driver_sf}")
 
     con = duckdb.connect()
     for t in (
@@ -98,7 +112,7 @@ def test_no_oracle_is_vacuous_at_driver_sf():
     ).split():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+            f"read_parquet('{driver_sf}/{t}.parquet')"
         )
     empty = [
         name

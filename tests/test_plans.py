@@ -362,9 +362,13 @@ def test_corpus_sized_join_sides_never_statically_broadcast(spark):
     survive refactors: at fixture scale the estimates make EVERY side
     broadcast-eligible, so any BroadcastHashJoin appearing in these
     plans means a hint was lost.  ``pipeline_contamination_check`` is
-    the asymmetric case: its train-gram side is merge-hinted while its
-    two provably-bounded frames are explicitly F.broadcast — exactly
-    two BroadcastHashJoins, no more, no fewer."""
+    the asymmetric case: BOTH its corpus-proportional sides — the
+    train-gram set and the contaminated-doc-id set `hits` (a fixed
+    2/16 sha-nibble fraction of the corpus in the worst case; ADVICE
+    r9 flagged an earlier F.broadcast pin on it) — are merge-hinted,
+    while the single provably-bounded frame (the per-LANGUAGE
+    `contaminated` aggregate, ≤ |languages| rows) is explicitly
+    F.broadcast — exactly one BroadcastHashJoin, no more, no fewer."""
     for name in ("dedup_ngram_jaccard", "dedup_ngram_jaccard_prefixed",
                  "dedup_fuzzy_minhash", "text_unigram_logprob"):
         text = plan_text(REGISTRY[name].fn(spark, TEST_SF_DIR))
@@ -376,6 +380,10 @@ def test_corpus_sized_join_sides_never_statically_broadcast(spark):
     # Formatted explain prints each node twice (tree + detail); count
     # the "(NN) BroadcastHashJoin" detail headers, one per node.
     bhj_nodes = re.findall(r"^\(\d+\) BroadcastHashJoin", contam, re.MULTILINE)
-    assert len(bhj_nodes) == 2, contam
-    # The corpus-sized train-gram semi-join must be the sort-merge one.
-    assert "SortMergeJoin LeftSemi" in contam, contam
+    assert len(bhj_nodes) == 1, contam
+    # Both corpus-proportional semi-joins (test-grams→train-grams and
+    # docs→hits) must be the sort-merge ones.  The detail headers omit
+    # the join type, so count the tree lines ("SortMergeJoin LeftSemi
+    # (NN)"), one per node.
+    smj_semi = re.findall(r"SortMergeJoin LeftSemi \(\d+\)", contam)
+    assert len(smj_semi) == 2, contam

@@ -41,8 +41,10 @@ WHITELIST = {
     # IVF centroid sample (limit(sample))
     "operators/similarity.py": 3,
     # dense triangle census: degree table + edge list, both behind the
-    # vertex AND edge caps that dispatch to the sparse path
-    "operators/graph.py": 2,
+    # vertex AND edge caps that dispatch to the sparse path; plus the
+    # sparse path's 1-row triangle-sum collect (lets the census delete
+    # its scratch generation before returning — ADVICE r9)
+    "operators/graph.py": 3,
 }
 
 #: every DataFrame → driver materialization spelling, not just the two

@@ -604,3 +604,76 @@ def test_scaled_int_text_matches_its_documented_duckdb_form(spark):
         for i, v in enumerate(vals)
     }
     assert got == want
+
+
+def test_reclaim_iteration_scratch_conf_root_keeps_latest(spark, tmp_path):
+    """Two CC runs in one app accumulate two scratch generations under
+    the conf root; reclaim(keep_latest=True) must delete exactly the
+    superseded one while the second run's returned frame — lazily
+    backed by its final-round parquet — stays collectable (VERDICT r9
+    task: a documented reclaim path for long-lived applications)."""
+    import os
+
+    from pyspark_analytics_library_spark.operators.dedup import (
+        reclaim_iteration_scratch,
+    )
+
+    scratch_base = str(tmp_path / "scratch")
+    spark.conf.set("spark.analytics.scratchDir", scratch_base)
+    try:
+        first = REGISTRY["dedup_connected_components"].fn(spark, TEST_SF_DIR)
+        n_first = first.count()
+        second = REGISTRY["dedup_connected_components"].fn(spark, TEST_SF_DIR)
+
+        app_dir = os.path.join(
+            scratch_base,
+            f"pyspark_analytics_cc_{spark.sparkContext.applicationId}",
+        )
+        gens_before = sorted(os.listdir(app_dir))
+        assert len(gens_before) == 2, gens_before
+
+        deleted = reclaim_iteration_scratch(spark, keep_latest=True)
+        gens_after = sorted(os.listdir(app_dir))
+        assert len(gens_after) == 1, gens_after
+        assert len(deleted) == 1 and gens_after[0] not in deleted[0]
+        # The surviving (latest) generation still backs the second
+        # run's lazy frame.
+        assert second.count() == n_first
+
+        # keep_latest=False reclaims everything, app dir included.
+        reclaim_iteration_scratch(spark, keep_latest=False)
+        assert not os.path.exists(app_dir)
+    finally:
+        spark.conf.unset("spark.analytics.scratchDir")
+
+
+def test_reclaim_iteration_scratch_local_tempdir_root(spark, tmp_path, monkeypatch):
+    """Without the scratchDir conf, local masters scratch under the OS
+    tempdir — the reclaim helper must find and prune that root too.
+    Generations are faked (two uuid-style dirs with files) so the test
+    exercises the listing/deletion mechanics without a loop run."""
+    import os
+    import tempfile
+
+    from pyspark_analytics_library_spark.operators.dedup import (
+        reclaim_iteration_scratch,
+    )
+
+    fake_tmp = str(tmp_path / "ostmp")
+    os.makedirs(fake_tmp)
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: fake_tmp)
+    app_dir = os.path.join(
+        fake_tmp, f"pyspark_analytics_cc_{spark.sparkContext.applicationId}"
+    )
+    for i, gen in enumerate(("aaaa11112222", "bbbb33334444")):
+        d = os.path.join(app_dir, gen, "round_7")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-00000.parquet"), "w") as f:
+            f.write("x")
+        # Distinct mtimes so "latest" is well-defined.
+        t = 1_000_000 + i
+        os.utime(os.path.join(app_dir, gen), (t, t))
+
+    deleted = reclaim_iteration_scratch(spark, keep_latest=True)
+    assert [os.path.basename(p) for p in deleted] == ["aaaa11112222"]
+    assert sorted(os.listdir(app_dir)) == ["bbbb33334444"]

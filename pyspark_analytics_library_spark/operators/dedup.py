@@ -563,8 +563,9 @@ def _cc_checkpoint(df: DataFrame, scratch_root: str, round_no: int) -> DataFrame
     via the Hadoop FS API (so the delete is real on remote scratchDirs
     too); only the latest round is ever on disk, and the loop deletes
     everything except the FINAL round's files — those back the returned
-    DataFrame and are reclaimed when the caller clears the app-scoped
-    scratch dir (or, locally, by the OS tempdir cleaner).
+    DataFrame and are reclaimed by :func:`reclaim_iteration_scratch`
+    (the documented per-app pruning helper), by the caller clearing the
+    app-scoped scratch dir, or locally by the OS tempdir cleaner.
 
     Writes are coalesced to a few files: the label table is
     vertex-count-sized and every downstream round re-reads it whole, so

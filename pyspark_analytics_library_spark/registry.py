@@ -92,6 +92,15 @@ _PRIORITY: dict[str, int] = {
     # a vacuously-empty result); the changed semantics need a fresh
     # driver row.
     "sql_subquery_scalar": 9,
+    # Round-10 all-SF vacuity sweep: important_stock's 0.002x-of-TOTAL
+    # threshold selected zero parts at sf0.1 (part count grows with SF;
+    # real TPC-H Q11 scales its fraction 1/SF) and NATION_7 has no
+    # supplier in the 10-supplier sf0.001 fixture -> 2x-AVG threshold +
+    # NATION_3; volume_shipping's NATION_1/NATION_2 pair likewise has
+    # no sf0.001 supplier -> NATION_3/NATION_8.  Both hashes changed;
+    # both need a fresh driver row.
+    "query_important_stock": 10,
+    "query_volume_shipping": 10,
 }
 
 

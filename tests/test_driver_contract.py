@@ -76,14 +76,22 @@ def test_every_oracle_name_has_query():
     assert set(o) <= set(q)
 
 
-def test_no_oracle_is_vacuous_at_driver_sf():
+@pytest.mark.parametrize("which", ["driver", "pytest"])
+def test_no_oracle_is_vacuous_at_driver_sf(which):
     """Every oracle must select at least one row at the driver's
-    attestation scale (sf0.01): an empty result makes the driver's
-    value hash compare nothing — both engines vacuously agree on
-    empty, and the green row attests no values.  Caught live in
-    round 9: ``sql_subquery_scalar``'s 4×-mean threshold selected
-    zero rows at EVERY fixture SF (max/avg ≈ 2 in the synthetic
-    orders table) and had been vacuously hash-green since round 2.
+    attestation scale (sf0.01) AND at the pytest fixture scale: an
+    empty result makes a value hash compare nothing — both engines
+    vacuously agree on empty, and the green row attests no values.
+    Caught live in round 9: ``sql_subquery_scalar``'s 4×-mean
+    threshold selected zero rows at EVERY fixture SF (max/avg ≈ 2 in
+    the synthetic orders table) and had been vacuously hash-green
+    since round 2.  Caught live again in round 10 at the OTHER two
+    SFs: ``query_important_stock`` (0.002×-of-total threshold beaten
+    by sf0.1's part-count growth; nation with no sf0.001 supplier)
+    and ``query_volume_shipping`` (nation pair with no sf0.001
+    supplier) — hence the second parametrization: the differential
+    suite compares results at TEST_SF_DIR, so vacuity there silently
+    hollows out this suite's own oracle tests.
 
     DuckDB-only (no Spark session): the point is the oracle's
     selectivity, and the differential tests already prove the Spark
@@ -98,12 +106,15 @@ def test_no_oracle_is_vacuous_at_driver_sf():
 
     import __spark_entry__ as e
 
-    driver_sf = os.environ.get(
-        "SPARKALYTICS_DRIVER_SF",
-        os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")), "sf0.01"),
-    )
-    if not os.path.isdir(driver_sf):
-        pytest.skip(f"driver-scale fixture dir not found: {driver_sf}")
+    if which == "driver":
+        sf_dir = os.environ.get(
+            "SPARKALYTICS_DRIVER_SF",
+            os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")), "sf0.01"),
+        )
+    else:
+        sf_dir = TEST_SF_DIR
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"fixture dir not found: {sf_dir}")
 
     con = duckdb.connect()
     for t in (
@@ -112,14 +123,14 @@ def test_no_oracle_is_vacuous_at_driver_sf():
     ).split():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{driver_sf}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     empty = [
         name
         for name, sql in e.oracle_sql().items()
         if con.execute(f"SELECT count(*) FROM ({sql}) x").fetchone()[0] == 0
     ]
-    assert empty == [], f"vacuous oracles at sf0.01: {empty}"
+    assert empty == [], f"vacuous oracles at {sf_dir}: {empty}"
 
 
 def test_missing_sf_dir_raises_clean_error(spark):

@@ -73,35 +73,39 @@ _MODULE_ORDER = (
 )
 
 
+@dataclass(frozen=True)
+class _Pin:
+    """A front-of-rotation pin for a query whose semantics changed.
+
+    ``until`` names the round whose GREEN driver row clears the pin.
+    ``expect_rows`` (when set) additionally requires the clearing row to
+    record exactly that ``spark_rows`` at the driver SF — so a green row
+    produced by a stale checkout (pre-change code that happens to run in
+    the named round) cannot clear the pin without attesting the NEW
+    result shape.  Leave it ``None`` only for changes that do not move
+    the driver-SF row count (then the round number is the only guard).
+    """
+
+    until: int
+    expect_rows: int | None = None
+
+
 #: Queries emitted literally first — ahead of the attestation tiers and
 #: the module round-robin (a within-module frontload only surfaces ~3
-#: names per module in a 50-query prefix).  The three streaming queries
-#: carry batch-parity self-checks the driver has never exercised;
-#: connected components had its scratch-path/checkpoint machinery
-#: changed in rounds 4-5 after its last driver row (r3), so it needs
-#: re-attestation ahead of its staleness rank.  Each pin names the
-#: round whose GREEN driver row clears it: once attestation reaches
-#: that round the query re-enters the normal staleness rotation, so a
-#: pin can never permanently starve the least-recently-attested tier.
-_PRIORITY: dict[str, int] = {
-    "stream_stateful": 5,
-    "stream_sink": 5,
-    "stream_foreach_batch": 5,
-    "dedup_connected_components": 5,
-    # Threshold lowered 4x -> 1.5x in round 9 (its r8 hash row attested
-    # a vacuously-empty result); the changed semantics need a fresh
-    # driver row.
-    "sql_subquery_scalar": 9,
-    # Round-10 all-SF vacuity sweep: important_stock's 0.002x-of-TOTAL
-    # threshold selected zero parts at sf0.1 (part count grows with SF;
-    # real TPC-H Q11 scales its fraction 1/SF) and NATION_7 has no
-    # supplier in the 10-supplier sf0.001 fixture -> 2x-AVG threshold +
-    # NATION_3; volume_shipping's NATION_1/NATION_2 pair likewise has
-    # no sf0.001 supplier -> NATION_3/NATION_8.  Both hashes changed;
-    # both need a fresh driver row.
-    "query_important_stock": 10,
-    "query_volume_shipping": 10,
-}
+#: names per module in a 50-query prefix).  Add a pin when a query's
+#: semantics/oracle change after its last driver attestation; the pin
+#: clears on a green driver row from round >= ``until`` whose recorded
+#: row count matches ``expect_rows`` (see :class:`_Pin`), after which
+#: the query re-enters the normal staleness rotation — a pin can never
+#: permanently starve the least-recently-attested tier.
+#:
+#: Pin history (all cleared): stream_stateful/stream_sink/
+#: stream_foreach_batch/dedup_connected_components (until r5, machinery
+#: changes in r4-5, cleared r9); sql_subquery_scalar (until r9,
+#: threshold 4x->1.5x, cleared r9); query_important_stock /
+#: query_volume_shipping (until r10, scale-invariant threshold
+#: rewrites from the all-SF vacuity sweep, cleared r10 at 155/14 rows).
+_PRIORITY: dict[str, _Pin] = {}
 
 
 def _row_green(row: object) -> bool:
@@ -123,8 +127,10 @@ def _row_green(row: object) -> bool:
     return all(row.get(k) for k in ("rows_match", "schema_match", "hash_match"))
 
 
-def _driver_attestation_rounds(root: pathlib.Path | None = None) -> dict[str, int]:
-    """Latest driver round with a GREEN CORRECTNESS row per query name.
+def _driver_green_rows(
+    root: pathlib.Path | None = None,
+) -> dict[str, list[tuple[int, int | None]]]:
+    """All GREEN driver CORRECTNESS rows per query: (round, spark_rows).
 
     Parses the committed ``CORRECTNESS_r*.json`` artifacts at the repo
     root (two directories above this file).  A query absent from every
@@ -133,7 +139,7 @@ def _driver_attestation_rounds(root: pathlib.Path | None = None) -> dict[str, in
     the repo checkout this degrades to "nothing attested", which leaves
     the ordering well-defined.
     """
-    rounds: dict[str, int] = {}
+    rows: dict[str, list[tuple[int, int | None]]] = {}
     if root is None:
         root = pathlib.Path(__file__).resolve().parent.parent
     for path in root.glob("CORRECTNESS_r*.json"):
@@ -149,8 +155,36 @@ def _driver_attestation_rounds(root: pathlib.Path | None = None) -> dict[str, in
             continue
         for name, row in data.items():
             if _row_green(row):
-                rounds[name] = max(rounds.get(name, 0), rnd)
-    return rounds
+                n = row.get("spark_rows")
+                rows.setdefault(name, []).append(
+                    (rnd, n if isinstance(n, int) else None)
+                )
+    return rows
+
+
+def _driver_attestation_rounds(root: pathlib.Path | None = None) -> dict[str, int]:
+    """Latest driver round with a GREEN CORRECTNESS row per query name."""
+    return {
+        name: max(rnd for rnd, _ in rows)
+        for name, rows in _driver_green_rows(root).items()
+    }
+
+
+def _active_pins(green: dict[str, list[tuple[int, int | None]]]) -> list[str]:
+    """Names of :data:`_PRIORITY` pins not yet cleared by a green driver
+    row from round >= ``until`` that records ``expect_rows`` (when set)."""
+
+    def cleared(name: str, pin: _Pin) -> bool:
+        return any(
+            rnd >= pin.until and (pin.expect_rows is None or n == pin.expect_rows)
+            for rnd, n in green.get(name, ())
+        )
+
+    return [
+        name
+        for name, pin in _PRIORITY.items()
+        if name in REGISTRY and not cleared(name, pin)
+    ]
 
 
 def ordered_registry() -> dict[str, QuerySpec]:
@@ -166,13 +200,23 @@ def ordered_registry() -> dict[str, QuerySpec]:
     Python import order, which cross-module imports distort; this
     function is the stable, intent-bearing order used by
     ``__spark_entry__.queries()``.
+
+    ROTATION INVARIANT (do not regress): with a driver sample of K
+    queries per round and committed CORRECTNESS files as the only
+    state, the attestation floor (min over queries of the latest green
+    round) advances whenever the stalest tier has <= K members, because
+    that whole tier sits in the K-prefix.  With 190 queries and K=50
+    the steady state is a 4-round rotation — no query's latest green
+    row is ever older than 4 rounds — PROVIDED (a) new queries are not
+    added faster than K/round, (b) pins are temporary (each clears on
+    its named round's green row, enforced by :class:`_Pin`), and (c)
+    failing rows do NOT count as attestation (see :func:`_row_green`),
+    so a failed query re-enters the prefix immediately instead of
+    aging out.  ``tests/test_packaging.py`` pins the prefix property.
     """
-    attested = _driver_attestation_rounds()
-    pinned = [
-        name
-        for name, until in _PRIORITY.items()
-        if name in REGISTRY and attested.get(name, 0) < until
-    ]
+    green = _driver_green_rows()
+    attested = {name: max(r for r, _ in rows) for name, rows in green.items()}
+    pinned = _active_pins(green)
     tiers: dict[int, dict[str, list[QuerySpec]]] = {}
     for spec in REGISTRY.values():
         if spec.name in pinned:

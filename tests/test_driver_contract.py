@@ -76,11 +76,52 @@ def test_every_oracle_name_has_query():
     assert set(o) <= set(q)
 
 
-@pytest.mark.parametrize("which", ["driver", "pytest"])
-def test_no_oracle_is_vacuous_at_driver_sf(which):
-    """Every oracle must select at least one row at the driver's
-    attestation scale (sf0.01) AND at the pytest fixture scale: an
-    empty result makes a value hash compare nothing — both engines
+def _vacuity_sf_dirs() -> list[str]:
+    """Every fixture SF dir the vacuity guard must cover, deduped.
+
+    Globs ALL sibling ``sf*`` dirs of the conftest fixture root (plus
+    TEST_SF_DIR itself and the SPARKALYTICS_DRIVER_SF override if set)
+    — ADVICE r10: the round-10 vacuity bug was found at sf0.1, which
+    the previous driver/pytest two-way parametrization left unguarded.
+    Dirs are deduped by resolved path so overlapping env overrides
+    don't double-scan (ADVICE r10 #3).
+    """
+    import glob as _glob
+
+    root = os.path.dirname(TEST_SF_DIR.rstrip("/"))
+    dirs = [TEST_SF_DIR]
+    if "SPARKALYTICS_DRIVER_SF" in os.environ:
+        dirs.append(os.environ["SPARKALYTICS_DRIVER_SF"])
+    dirs.extend(sorted(_glob.glob(os.path.join(root, "sf*"))))
+    out, seen = [], set()
+    for d in dirs:
+        r = os.path.realpath(d)
+        if r not in seen and os.path.isdir(d):
+            seen.add(r)
+            out.append(d)
+    return out or [TEST_SF_DIR]
+
+
+#: DuckDB scan cost over the full oracle set at sf0.1 (~17 MB parquet)
+#: is ~2 min; by default the guard runs the two cheap SFs (sf0.001
+#: pytest / sf0.01 driver) every time and the expensive ones only when
+#: SPARKALYTICS_VACUITY_ALL_SF=1 (set in the round's full-contract
+#: replay, not per-commit pytest).
+_VACUITY_CHEAP_BYTES = 8 * 1024 * 1024
+
+
+def _sf_dir_bytes(sf_dir: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+
+
+@pytest.mark.parametrize("sf_dir", _vacuity_sf_dirs())
+def test_no_oracle_is_vacuous(sf_dir):
+    """Every oracle must select at least one row at EVERY fixture SF:
+    an empty result makes a value hash compare nothing — both engines
     vacuously agree on empty, and the green row attests no values.
     Caught live in round 9: ``sql_subquery_scalar``'s 4×-mean
     threshold selected zero rows at EVERY fixture SF (max/avg ≈ 2 in
@@ -89,32 +130,25 @@ def test_no_oracle_is_vacuous_at_driver_sf(which):
     SFs: ``query_important_stock`` (0.002×-of-total threshold beaten
     by sf0.1's part-count growth; nation with no sf0.001 supplier)
     and ``query_volume_shipping`` (nation pair with no sf0.001
-    supplier) — hence the second parametrization: the differential
-    suite compares results at TEST_SF_DIR, so vacuity there silently
-    hollows out this suite's own oracle tests.
+    supplier) — hence the all-SF glob: the round-10 finds were at
+    sf0.1, which a driver/pytest two-way parametrization misses.
 
     DuckDB-only (no Spark session): the point is the oracle's
     selectivity, and the differential tests already prove the Spark
     side matches it.
-
-    The sf0.01 dir is derived as a sibling of the conftest fixture
-    root (override with SPARKALYTICS_DRIVER_SF), with a skip when
-    absent — checkouts whose fixtures live elsewhere must not fail
-    on a hardcoded /root/testdata path (ADVICE r9).
     """
     import duckdb
 
     import __spark_entry__ as e
 
-    if which == "driver":
-        sf_dir = os.environ.get(
-            "SPARKALYTICS_DRIVER_SF",
-            os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")), "sf0.01"),
+    if (
+        _sf_dir_bytes(sf_dir) > _VACUITY_CHEAP_BYTES
+        and os.environ.get("SPARKALYTICS_VACUITY_ALL_SF") != "1"
+    ):
+        pytest.skip(
+            f"{sf_dir} exceeds the cheap-scan budget; "
+            "set SPARKALYTICS_VACUITY_ALL_SF=1 to include it"
         )
-    else:
-        sf_dir = TEST_SF_DIR
-    if not os.path.isdir(sf_dir):
-        pytest.skip(f"fixture dir not found: {sf_dir}")
 
     con = duckdb.connect()
     for t in (
@@ -150,8 +184,9 @@ def test_ordered_registry_frontloads_least_recently_attested():
     the ordering must spend that budget on queries with the stalest (or
     no) driver CORRECTNESS attestation — VERDICT r4 task #1."""
     from pyspark_analytics_library_spark.registry import (
-        _PRIORITY,
+        _active_pins,
         _driver_attestation_rounds,
+        _driver_green_rows,
         ordered_registry,
     )
 
@@ -159,11 +194,7 @@ def test_ordered_registry_frontloads_least_recently_attested():
     assert set(order) == set(REGISTRY), "ordering must be a permutation"
     attested = _driver_attestation_rounds()
     # Pins hold only until their clearing round is green-attested.
-    pinned = [
-        n
-        for n, until in _PRIORITY.items()
-        if n in REGISTRY and attested.get(n, 0) < until
-    ]
+    pinned = _active_pins(_driver_green_rows())
     assert order[: len(pinned)] == pinned
     never = [n for n in order if n not in attested]
     if len(never) >= 50:
@@ -184,8 +215,9 @@ def test_driver_prefix_starves_recently_attested_queries():
     Pinned queries are exempt (a pin deliberately jumps the queue to
     re-attest machinery that changed since its last green row)."""
     from pyspark_analytics_library_spark.registry import (
-        _PRIORITY,
+        _active_pins,
         _driver_attestation_rounds,
+        _driver_green_rows,
         ordered_registry,
     )
 
@@ -194,11 +226,7 @@ def test_driver_prefix_starves_recently_attested_queries():
         return  # outside the repo checkout: nothing to starve
     latest = max(attested.values())
     recent = {n for n, r in attested.items() if r >= latest - 1}
-    pinned = {
-        n
-        for n, until in _PRIORITY.items()
-        if n in REGISTRY and attested.get(n, 0) < until
-    }
+    pinned = set(_active_pins(_driver_green_rows()))
     order = list(ordered_registry())
     stale_pool = [n for n in order if n not in recent and n not in pinned]
     budget = 50 - len(pinned)
@@ -235,17 +263,52 @@ def test_attestation_ignores_failing_rows(tmp_path):
 
 def test_priority_pins_expire_after_clearing_round(monkeypatch):
     """Once a pinned query has a green driver row at its clearing
-    round, it re-enters the normal staleness rotation (here: freshest
-    tier, so it sorts last) instead of holding a sample slot forever."""
+    round — recording the pin's expected row count — it re-enters the
+    normal staleness rotation (here: freshest tier, so it sorts last)
+    instead of holding a sample slot forever."""
     import pyspark_analytics_library_spark.registry as reg
 
+    names = sorted(reg.REGISTRY)[:3]
     monkeypatch.setattr(
         reg,
-        "_driver_attestation_rounds",
-        lambda root=None: {n: until for n, until in reg._PRIORITY.items()},
+        "_PRIORITY",
+        {names[0]: reg._Pin(until=9), names[1]: reg._Pin(until=9, expect_rows=155)},
+    )
+    monkeypatch.setattr(
+        reg,
+        "_driver_green_rows",
+        lambda root=None: {n: [(9, 155)] for n in names},
     )
     order = list(reg.ordered_registry())
-    assert set(order[-len(reg._PRIORITY):]) == set(reg._PRIORITY)
+    assert set(order[-3:]) >= set(names[:2]), "cleared pins must sort to the freshest tier"
+
+
+def test_priority_pin_not_cleared_by_stale_checkout_row(monkeypatch):
+    """ADVICE r10: a pin keyed on ``expect_rows`` must NOT clear on a
+    green row from the named round that attests the OLD result shape
+    (e.g. a stale checkout ran in that round) — the round number alone
+    is not evidence the changed definition was attested."""
+    import pyspark_analytics_library_spark.registry as reg
+
+    name = sorted(reg.REGISTRY)[0]
+    monkeypatch.setattr(reg, "_PRIORITY", {name: reg._Pin(until=9, expect_rows=155)})
+    # Green rows exist at r9 and r10, but both record the pre-change
+    # row count (42) — the pin must hold.
+    monkeypatch.setattr(
+        reg, "_driver_green_rows", lambda root=None: {name: [(9, 42), (10, 42)]}
+    )
+    assert list(reg.ordered_registry())[0] == name
+    # A green row from an EARLIER round with the right count also must
+    # not clear it (the change landed after that round).
+    monkeypatch.setattr(
+        reg, "_driver_green_rows", lambda root=None: {name: [(8, 155)]}
+    )
+    assert list(reg.ordered_registry())[0] == name
+    # Only round >= until AND matching rows clears.
+    monkeypatch.setattr(
+        reg, "_driver_green_rows", lambda root=None: {name: [(9, 155)]}
+    )
+    assert list(reg.ordered_registry())[0] != name
 
 
 def test_describe_self_check_conf_switch(spark, monkeypatch):

@@ -5,6 +5,8 @@ quality bounds instead.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import given as hyp_given
 from hypothesis import strategies as st
@@ -677,3 +679,100 @@ def test_reclaim_iteration_scratch_local_tempdir_root(spark, tmp_path, monkeypat
     deleted = reclaim_iteration_scratch(spark, keep_latest=True)
     assert [os.path.basename(p) for p in deleted] == ["aaaa11112222"]
     assert sorted(os.listdir(app_dir)) == ["bbbb33334444"]
+
+
+# ---------------------------------------------------------------------------
+# Row-diversity guard (VERDICT r10 task #5): a non-empty oracle can
+# still be WEAK if its result collapses to constant/degenerate values
+# at some SF — both engines then agree on a hash that attests almost
+# nothing.  Two classes, both pinned here:
+#   (a) multi-row results where EVERY column is constant (all rows
+#       identical) — attests one value row, silently;
+#   (b) single-row results — legitimate only for designed-scalar
+#       queries (global aggregates / top-1), which are allowlisted
+#       with the design reason.
+# DuckDB-only (no Spark session), same rationale as the vacuity guard:
+# the differential suite already proves Spark matches the oracle, so
+# guarding the oracle's result shape guards both sides.
+
+#: Queries whose oracle returns exactly ONE row BY DESIGN at any SF.
+_SCALAR_BY_DESIGN = {
+    "agg_corr": "single global corr/covar row over lineitem",
+    "graph_triangles": "one global triangle-census row",
+    "query_disjunct_revenue": "TPC-H Q19 shape: single revenue scalar",
+    "query_forecast_revenue": "TPC-H Q6 shape: single revenue scalar",
+    "query_promo_revenue": "TPC-H Q14 shape: single promo-share scalar",
+    "query_small_qty_revenue": "TPC-H Q17 shape: single avg-yearly scalar",
+    "query_top_supplier": "TPC-H Q15 shape: argmax supplier (ties broken)",
+    "ts_session_stats": "global session-length stats row",
+    "text_regex_extract": (
+        "top-20 of >=7-letter tokens; the synthetic corpus vocabulary"
+        " yields one qualifying token at every fixture SF"
+    ),
+}
+
+#: Queries tolerated at one row ONLY below the driver SF: fixture
+#: sparsity, not design (e.g. a single populated ASIA nation at
+#: sf0.001).  They MUST be multi-row at the driver's attestation SF.
+_SCALAR_AT_TINY_SF_ONLY = {
+    "join_inner_star": "one ASIA nation populated in the 10-supplier sf0.001 fixture",
+}
+
+
+def _diversity_sf_dirs():
+    from tests.test_driver_contract import (
+        _VACUITY_CHEAP_BYTES,
+        _sf_dir_bytes,
+        _vacuity_sf_dirs,
+    )
+
+    return [
+        d
+        for d in _vacuity_sf_dirs()
+        if _sf_dir_bytes(d) <= _VACUITY_CHEAP_BYTES
+        or os.environ.get("SPARKALYTICS_VACUITY_ALL_SF") == "1"
+    ]
+
+
+@pytest.mark.parametrize("sf_dir", _diversity_sf_dirs())
+def test_oracle_results_are_value_diverse(sf_dir):
+    import duckdb
+
+    import __spark_entry__ as e
+
+    driver_sf = os.environ.get(
+        "SPARKALYTICS_DRIVER_SF",
+        os.path.join(os.path.dirname(TEST_SF_DIR.rstrip("/")), "sf0.01"),
+    )
+    is_driver_sf = os.path.realpath(sf_dir) == os.path.realpath(driver_sf)
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    degenerate, scalar_offenders = [], []
+    for name, sql in e.oracle_sql().items():
+        df = con.execute(sql).df()
+        if len(df) == 1:
+            allowed = name in _SCALAR_BY_DESIGN or (
+                name in _SCALAR_AT_TINY_SF_ONLY and not is_driver_sf
+            )
+            if not allowed:
+                scalar_offenders.append(name)
+        elif len(df) >= 2:
+            if not any(df[c].nunique(dropna=False) > 1 for c in df.columns):
+                degenerate.append(name)
+    con.close()
+    assert degenerate == [], (
+        f"multi-row all-constant oracle results at {sf_dir}: {degenerate}"
+    )
+    assert scalar_offenders == [], (
+        f"unexpected single-row oracle results at {sf_dir} "
+        f"(collapsed group, or add to the allowlist with a design "
+        f"reason): {scalar_offenders}"
+    )

@@ -212,7 +212,8 @@ def ordered_registry() -> dict[str, QuerySpec]:
     its named round's green row, enforced by :class:`_Pin`), and (c)
     failing rows do NOT count as attestation (see :func:`_row_green`),
     so a failed query re-enters the prefix immediately instead of
-    aging out.  ``tests/test_packaging.py`` pins the prefix property.
+    aging out.  ``tests/test_driver_contract.py`` pins the prefix
+    property (frontload + starvation + pin-expiry tests).
     """
     green = _driver_green_rows()
     attested = {name: max(r for r, _ in rows) for name, rows in green.items()}

@@ -256,13 +256,16 @@ def scan_orc(spark: SparkSession, path: str, **options) -> DataFrame:
 
 def scan_jdbc(
     spark: SparkSession, url: str, table: str, **properties
-) -> DataFrame:  # pragma: no cover - no database in this environment
-    """JDBC connector surface (API parity only; SURVEY.md §2.1 says do
-    not declare it — no database is reachable in the test environment).
+) -> DataFrame:
+    """JDBC connector surface (SURVEY.md §2.1: correctly NOT declared
+    as a driver query — no database is reachable in the DRIVER
+    environment — but executed locally against Spark's bundled
+    embedded Derby in tests/test_jdbc.py, plain and partitioned).
 
     At scale, callers should pass ``partitionColumn``/``lowerBound``/
-    ``upperBound``/``numPartitions`` so the read parallelizes instead of
-    funneling through a single connection.
+    ``upperBound``/``numPartitions`` so the read parallelizes across
+    that many connections instead of funneling through one (the
+    partitioned test pins that these options shard the RDD).
     """
     return spark.read.jdbc(url=url, table=table, properties=properties)
 

@@ -605,15 +605,17 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the contract.  Content-deterministic alternatives (hash-mod
     gates) live in pipeline_train_split."""
     t = load_tables(spark, sf_dir)
-    fractions = {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 1.0, "pt": 1.0}
     docs = t["documents"]
     # sampleBy's fraction map must enumerate every stratum (absent keys
-    # are dropped, not passed through) — the distinct-lang collect is
-    # bounded by stratum cardinality (languages: dozens), the same size
-    # class as a broadcast scalar, not a data materialization.
-    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-    full = {lang: fractions.get(lang, 1.0) for lang in langs}
-    sampled = docs.sampleBy("lang", fractions=full, seed=42)
+    # are dropped, not passed through).  The stratum vocabulary is given
+    # EXPLICITLY — FIXTURES.md pins documents.lang to exactly these five
+    # values — rather than enumerated by collecting distinct values: a
+    # value-enumeration collect is the classic unbounded-cardinality
+    # trap (fine at 5 langs, a driver materialization at 5M user ids).
+    # Callers with an open-ended stratum column must pass their own
+    # fixed value list; there is no safe way to infer one at scale.
+    fractions = {"en": 0.2, "de": 0.5, "fr": 0.5, "es": 1.0, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions=fractions, seed=42)
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sampled"),
     )

@@ -187,6 +187,38 @@ def _active_pins(green: dict[str, list[tuple[int, int | None]]]) -> list[str]:
     ]
 
 
+#: How many rounds past ``until`` a pin may stay active before it is
+#: considered STALE (ADVICE r11: a pin whose ``expect_rows`` was
+#: miscalculated — or whose row count moved with a driver-SF change —
+#: would otherwise hold a front-of-rotation slot forever, silently).
+#: Two rounds is enough for the named round plus one sampling miss.
+PIN_STALENESS_GRACE = 2
+
+
+def stale_pins(current_round: int) -> list[str]:
+    """Active pins that have outlived ``until + PIN_STALENESS_GRACE``.
+
+    ``tests/test_driver_contract.py`` fails the contract suite when
+    this is non-empty, so a wrong ``expect_rows`` surfaces as a red
+    test instead of a permanently pinned rotation slot.  Callers
+    compute ``current_round`` from the newest committed
+    ``CORRECTNESS_r*.json`` (that file's round + 1 is the round being
+    built)."""
+    active = _active_pins(_driver_green_rows())
+    return [
+        name
+        for name in active
+        if current_round > _PRIORITY[name].until + PIN_STALENESS_GRACE
+    ]
+
+
+def latest_attested_round() -> int:
+    """Highest round number with any committed CORRECTNESS artifact (0
+    if none) — ``+ 1`` is the round currently being built."""
+    rounds = [r for rows in _driver_green_rows().values() for r, _ in rows]
+    return max(rounds, default=0)
+
+
 def ordered_registry() -> dict[str, QuerySpec]:
     """REGISTRY ordered least-recently-driver-attested first.
 

@@ -99,7 +99,11 @@ def _vacuity_sf_dirs() -> list[str]:
         if r not in seen and os.path.isdir(d):
             seen.add(r)
             out.append(d)
-    return out or [TEST_SF_DIR]
+    # ADVICE r11: no fallback to TEST_SF_DIR here — it bypassed the
+    # isdir filter, so a fixtureless checkout hit FileNotFoundError in
+    # _sf_dir_bytes instead of skipping.  An empty list makes pytest
+    # emit the parametrized tests as skipped, which is the intent.
+    return out
 
 
 #: DuckDB scan cost over the full oracle set at sf0.1 (~17 MB parquet)
@@ -309,6 +313,36 @@ def test_priority_pin_not_cleared_by_stale_checkout_row(monkeypatch):
         reg, "_driver_green_rows", lambda root=None: {name: [(9, 155)]}
     )
     assert list(reg.ordered_registry())[0] != name
+
+
+def test_no_pin_outlives_its_staleness_ceiling(monkeypatch):
+    """ADVICE r11: a _Pin with a miscalculated ``expect_rows`` (or a
+    driver-SF change that moves the row count) can never clear — the
+    'a pin can never permanently starve' claim only holds for
+    round-only pins.  ``stale_pins`` is the ceiling: a pin still active
+    PIN_STALENESS_GRACE rounds past ``until`` fails here instead of
+    silently holding a rotation slot forever."""
+    import pyspark_analytics_library_spark.registry as reg
+
+    # The live check: the REAL pin table against the REAL artifacts.
+    current = reg.latest_attested_round() + 1
+    stale = reg.stale_pins(current)
+    assert not stale, (
+        f"pins {stale} are still active {reg.PIN_STALENESS_GRACE}+ rounds "
+        f"past their clearing round (building r{current}) — their "
+        "expect_rows is likely wrong; fix or remove them"
+    )
+
+    # The mechanism: a pin whose expect_rows never matches goes stale
+    # exactly after the grace window.
+    name = sorted(reg.REGISTRY)[0]
+    monkeypatch.setattr(reg, "_PRIORITY", {name: reg._Pin(until=9, expect_rows=1)})
+    monkeypatch.setattr(
+        reg, "_driver_green_rows", lambda root=None: {name: [(9, 42), (10, 42)]}
+    )
+    grace = reg.PIN_STALENESS_GRACE
+    assert reg.stale_pins(9 + grace) == []
+    assert reg.stale_pins(9 + grace + 1) == [name]
 
 
 def test_describe_self_check_conf_switch(spark, monkeypatch):

@@ -726,11 +726,20 @@ def _diversity_sf_dirs():
         _vacuity_sf_dirs,
     )
 
+    def _cheap(d: str) -> bool:
+        # ADVICE r11: sizing happens at COLLECTION time — an unreadable
+        # dir must drop out quietly, not error the whole module's
+        # collection.  (_vacuity_sf_dirs already isdir-filters, but the
+        # dir can race away between the filter and the listdir here.)
+        try:
+            return _sf_dir_bytes(d) <= _VACUITY_CHEAP_BYTES
+        except OSError:
+            return False
+
     return [
         d
         for d in _vacuity_sf_dirs()
-        if _sf_dir_bytes(d) <= _VACUITY_CHEAP_BYTES
-        or os.environ.get("SPARKALYTICS_VACUITY_ALL_SF") == "1"
+        if _cheap(d) or os.environ.get("SPARKALYTICS_VACUITY_ALL_SF") == "1"
     ]
 
 

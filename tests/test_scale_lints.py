@@ -32,8 +32,6 @@ WHITELIST = {
     # two 1-row scalar-aggregate collects in stream_late_data's
     # embedded watermark-drop check
     "streaming/stream_queries.py": 7,
-    # stratified-sample fraction map: one row per distinct lang (~5)
-    "operators/relational.py": 1,
     # agg_describe embedded self-check: the 8-row summary() grid plus
     # one scalar-aggregate row, both bounded by the statistic list
     "operators/aggregates.py": 2,

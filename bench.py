@@ -59,6 +59,16 @@ HEADLINE = {
     # (VERDICT r7 #6) — reference row in BASELINE.md §"Round-8
     # regression reference".
     "describe_summary": "agg_describe",
+    # Round-12 additions (VERDICT r11 #2/#6): the as-of union+window
+    # plan and the salted skew join both carry 100 M-row probe evidence
+    # but had no per-round regression tripwire — a plan regression
+    # (e.g. as-of regrowing a join) would only have surfaced in a
+    # manual probe; fuzzy_dedup is the new end-to-end LSH→CC→keeper
+    # composite.  Reference rows in BASELINE.md §"Round-12 regression
+    # reference".
+    "join_asof": "join_asof",
+    "salted_join": "join_salted_skew",
+    "fuzzy_dedup": "pipeline_fuzzy_dedup",
 }
 
 #: Round-3 additions — excluded from the headline `value` so it stays
@@ -74,6 +84,9 @@ EXTENDED = {
     "graph_pagerank",
     "resample_interp",
     "describe_summary",
+    "join_asof",
+    "salted_join",
+    "fuzzy_dedup",
 }
 
 
@@ -94,7 +107,14 @@ def main() -> None:
     # agg_describe belongs here too: its embedded self-check (summary
     # cells parsed back vs direct aggregates) runs eagerly inside
     # fn(), and the bench row exists to watch exactly that cost.
-    iterative = {"dedup_components", "graph_triangles", "describe_summary"}
+    iterative = {
+        "dedup_components",
+        "graph_triangles",
+        "describe_summary",
+        # fn() runs the CC loop (per-round checkpoints) and the Derby-
+        # free LSH stage eagerly before returning the 5-row rollup.
+        "fuzzy_dedup",
+    }
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -257,10 +257,13 @@ def scan_orc(spark: SparkSession, path: str, **options) -> DataFrame:
 def scan_jdbc(
     spark: SparkSession, url: str, table: str, **properties
 ) -> DataFrame:
-    """JDBC connector surface (SURVEY.md §2.1: correctly NOT declared
-    as a driver query — no database is reachable in the DRIVER
-    environment — but executed locally against Spark's bundled
-    embedded Derby in tests/test_jdbc.py, plain and partitioned).
+    """JDBC connector surface.  Declared as the full-oracle driver
+    query ``scan_jdbc`` (sources/scan_queries.py) since round 12: no
+    EXTERNAL database is reachable in the driver environment, but
+    Spark bundles embedded Derby, so the declared query writes nation
+    into a fresh Derby database and reads it back partitioned —
+    writer+reader value-exactness attested against the original table.
+    tests/test_jdbc.py drives the plain and partitioned paths directly.
 
     At scale, callers should pass ``partitionColumn``/``lowerBound``/
     ``upperBound``/``numPartitions`` so the read parallelizes across

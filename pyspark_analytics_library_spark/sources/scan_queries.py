@@ -436,3 +436,66 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scan_jdbc",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def q_scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source surface driven end-to-end against Spark's bundled
+    EMBEDDED Derby (VERDICT r11 #1: the one §2.1 row whose execution
+    evidence — tests/test_jdbc.py — the driver never saw).  Pipeline:
+    nation → ``DataFrame.write.jdbc`` into a fresh pid-scoped Derby
+    database → re-read through :func:`scan_jdbc` with the PARTITIONED
+    options (partitionColumn/lowerBound/upperBound/numPartitions=4),
+    the 100 TB-relevant half: a production JDBC ingest must shard
+    across connections or the whole table funnels through one
+    executor.  The oracle compares the re-read aggregate against the
+    ORIGINAL nation table, so the JDBC writer+reader pair must
+    preserve every value exactly — full hash strength, not rows-only.
+
+    The returned frame stays LAZY (the driver collects after we
+    return), so the Derby database must outlive this call: scratch is
+    pid-scoped and janitored by the shared dead-pid pruner, never
+    deleted in-call.  Embedded Derby is single-JVM — exactly the
+    local[N] shape — while a cluster run would point the same options
+    at a networked RDBMS; the plan is identical either way
+    (JDBCRelation with 4 range-sharded partitions).
+    """
+    path = _scratch("derby_jdbc")
+    # Keep derby.log inside the scratch dir (no-op after the engine
+    # first boots in this JVM; the DB path itself is absolute).
+    spark._jvm.java.lang.System.setProperty("derby.system.home", path)
+    url = f"jdbc:derby:{path}/db"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    t = load_tables(spark, sf_dir)
+    nation = t["nation"].select("n_nationkey", "n_regionkey")
+    n = nation.count()  # bounds for the range shards (25 rows: cheap)
+    nation.write.jdbc(
+        url=url + ";create=true", table="nation_jdbc", mode="overwrite",
+        properties=props,
+    )
+    back = io_mod.scan_jdbc(
+        spark,
+        url,
+        "nation_jdbc",
+        driver=props["driver"],
+        partitionColumn="n_nationkey",
+        lowerBound="0",
+        upperBound=str(n),
+        numPartitions="4",
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

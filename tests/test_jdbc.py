@@ -11,9 +11,10 @@ numPartitions), which is the 100-TB-relevant half: a production JDBC
 ingest must parallelize across connections or it funnels the whole
 table through one executor.
 
-``scan_jdbc`` remains correctly UNDECLARED as a driver query
-(SURVEY.md §2.1: no database in the DRIVER environment, and DuckDB
-could not oracle it) — this test is local execution evidence only.
+Since round 12 ``scan_jdbc`` is ALSO declared as a full-oracle driver
+query (sources/scan_queries.py: nation → Derby → partitioned re-read,
+oracled against the original table) — these tests remain the direct
+unit evidence for the plain and partitioned read paths.
 """
 
 from __future__ import annotations

@@ -77,6 +77,61 @@ def test_minhash_deterministic_and_sound(spark):
         assert r["jaccard"] >= 0.4
 
 
+def test_fuzzy_dedup_composite_matches_python_closure(spark):
+    """pipeline_fuzzy_dedup is rows-only at the driver (LSH uses
+    xxhash64, absent in DuckDB) but fully deterministic — so re-derive
+    the WHOLE composite independently: collect the LSH pair list
+    (fixture-small), run a pure-Python union-find closure, pick the
+    min-id keeper per component, attribute yield to the keeper's lang,
+    and require exact equality with the declared query's output."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.dedup import minhash_lsh_pairs
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    t = load_tables(spark, TEST_SF_DIR)
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in t["documents"].select("doc_id", "lang").collect()
+    }
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            t["documents"].select("doc_id", "text", "lang")
+        ).collect()
+    ]
+
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id — the keeper semantics under test
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {}
+    for d, lang in docs.items():
+        n_docs, n_kept = expected.setdefault(lang, [0, 0])
+        expected[lang][0] = n_docs + 1
+        expected[lang][1] = n_kept + (1 if find(d) == d else 0)
+    want = {
+        lang: (nd, nk, nd - nk, round((nd - nk) / nd, 4))
+        for lang, (nd, nk) in expected.items()
+    }
+
+    got = {
+        r["lang"]: (r["n_docs"], r["n_kept"], r["n_removed"], r["dup_rate"])
+        for r in REGISTRY["pipeline_fuzzy_dedup"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_simhash_identical_docs_same_signature(spark):
     from pyspark.sql import functions as F
 

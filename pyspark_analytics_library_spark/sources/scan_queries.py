@@ -202,6 +202,17 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers literal predicates, DPP covers the star-join-on-partition-
     key shape ("this quarter's fact files only", where "this quarter"
     is itself a query result).
+
+    REFUSAL CONDITION (probed r12, PySpark 4.1.2): PartitionPruning
+    only fires when the dim side carries a selective FILTER predicate
+    (here the HAVING).  A dim derived purely by JOIN — e.g. argmax via
+    self-join on max(n) — gets NO dynamicpruning subquery and the fact
+    scan opens every partition (verified at scan-metrics level:
+    numFiles stayed 5/5 and no staticFilesNum metric was registered).
+    Pipelines needing DPP must shape the dim as filter-over-relation,
+    or pre-materialize the key list and filter literally.
+    tests/test_plans.py::test_dpp_scan_reads_fewer_files_than_static
+    pins the engaged path's numFiles < staticFilesNum at fixture scale.
     """
     t = load_tables(spark, sf_dir)
     path = _scratch("dpp_by_lang")

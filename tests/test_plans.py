@@ -456,3 +456,103 @@ def test_sparse_census_reclaims_scratch_before_returning(spark, tmp_path):
     # The app-scoped parent may remain; every per-call generation
     # (uuid leaf) and its e_dir/nbrs contents must be gone.
     assert app_dirs == [], app_dirs
+
+
+def test_asof_join_single_exchange_zero_joins(spark):
+    """VERDICT r11 #7: the as-of union+window plan's scale invariant —
+    proven at 100 M × 150 M rows in the round-11 probe (SCALE.md) —
+    pinned as a plan test: exactly ONE shuffle Exchange (the window's
+    hashpartitioning on the key) and ZERO join operators of any kind.
+    A regression that re-expresses as-of as a range join + rank would
+    pass correctness while re-introducing the join blow-up the
+    union+window design exists to avoid."""
+    df = REGISTRY["join_asof"].fn(spark, TEST_SF_DIR)
+    assert _shuffle_count(df) == 1, plan_text(df)
+    text = plan_text(df)
+    joins = [
+        ln for ln in text.splitlines()
+        if "Join" in ln and "JoinSelection" not in ln
+    ]
+    assert not joins, joins
+
+
+def _file_scan_metrics(df):
+    """Post-execution (numFiles, staticFilesNum) for every
+    FileSourceScanExec in the executed plan, walking through AQE
+    query-stage wrappers (their subtree hangs off plan()/
+    finalPhysicalPlan(), not children())."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            ms = node.metrics()
+            try:
+                static = ms.apply("staticFilesNum").value()
+            except Exception:
+                static = None  # non-partitioned scan: no DPP metrics
+            out.append((ms.apply("numFiles").value(), static))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        for meth in ("plan", "finalPhysicalPlan"):
+            try:
+                walk(getattr(node, meth)())
+            except Exception:
+                pass
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_dpp_scan_reads_fewer_files_than_static(spark):
+    """VERDICT r11 #7, second invariant: DPP must not merely appear in
+    the plan (test_dpp_inserts_dynamic_pruning_subquery pins that) —
+    the EXECUTED fact scan must open fewer files than the static
+    layout holds (the round-11 probe measured 9 of 200 files at 100 M
+    rows; this pins the same scan-metric relation at fixture scale).
+
+    The declared scan_dpp query's ≥40-docs dim admits every lang at
+    fixture SFs (pruning there only pays at probe scale), so this test
+    builds the SELECTIVE variant of the same shape: the dim keeps only
+    langs holding ≥25 % of the corpus (English only, at every fixture
+    SF) — the same groupBy+HAVING Filter the declared query uses,
+    because DPP's PartitionPruning rule requires a selective FILTER
+    predicate on the build side (a join-derived dim, e.g. argmax via
+    self-join on max(n), does NOT qualify — probed while writing this
+    test; that refusal condition is documented in scan_queries.py).
+    The fact scan must then open exactly 1 of the 5 lang directories,
+    attested by the scan's own numFiles/staticFilesNum SQLMetrics, not
+    the plan string."""
+    from pyspark_analytics_library_spark.sources.io import load_tables
+    from pyspark_analytics_library_spark.sources.scan_queries import _scratch
+
+    t = load_tables(spark, TEST_SF_DIR)
+    path = _scratch("dpp_selective")
+    t["documents"].select("doc_id", "n_chars", "lang").write.mode(
+        "overwrite"
+    ).partitionBy("lang").parquet(path)
+    fact = spark.read.parquet(path)
+    threshold = int(0.25 * t["documents"].count())  # test-side scalar
+    dim = (
+        t["documents"]
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .select(F.col("lang").alias("dim_lang"))
+    )
+    df = (
+        fact.join(F.broadcast(dim), fact.lang == F.col("dim_lang"))
+        .groupBy(F.col("lang").cast("string").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    assert "dynamicpruning" in plan_text(df).lower()
+    # collect() (not count()) — the metrics walk below reads THIS
+    # DataFrame's executed plan, and count() runs a different one.
+    assert len(df.collect()) == 1
+    partitioned = [
+        (n, s) for n, s in _file_scan_metrics(df) if s is not None
+    ]
+    assert partitioned, "no partitioned FileSourceScan found in executed plan"
+    num_files, static_files = partitioned[0]
+    assert static_files == 5, (num_files, static_files)
+    assert num_files == 1, (num_files, static_files)

@@ -12,8 +12,34 @@ oracles — the oracle is the unsalted/unbucketed SQL):
 - ``join_salted_skew``: skewed equi-join — replicate the build side
   across ``buckets`` salt replicas (explode — no driver loop), salt the
   probe side by hash of a unique column, join on (key, salt). AQE's
-  skew-join split handles moderate skew automatically; explicit salting
-  is the escape hatch when one key alone exceeds a task's memory.
+  skew-join split handles moderate skew automatically WHEN its
+  engagement conditions hold; explicit salting is the dependable lever
+  because those conditions are environmental, invisible to the query
+  author, and AQE declines SILENTLY.  Root-caused in round 12 (SCALE.md
+  "AQE skew-split root cause"; PySpark 4.1.2 OptimizeSkewedJoin /
+  ShufflePartitionsUtil, bytecode-verified + DEBUG-log bisect), the
+  rule requires ALL of:
+  (1) size: hot partition's COMPRESSED map-output bytes >
+      max(skewedPartitionThresholdInBytes [256 MB],
+      skewedPartitionFactor [5.0] x median).  A single-key partition
+      compresses far better than mixed-key neighbors — measured 36x
+      row-skew showing only 3x byte-skew (2.9 MB vs 0.83 MB median at
+      10 M rows), and the SAME rows at 42.6 MB once shuffled out of
+      clustered order (14x compression swing) — so row-skew reasoning
+      over-predicts engagement;
+  (2) splittability: the split happens only at MAP-output-block
+      boundaries (createSkewPartitionSpecs returns None at <= 1 chunk,
+      with NO log line).  Few effective upstream maps — e.g. a parquet
+      scan whose files hold one giant row group, where only splits
+      containing a row-group midpoint emit rows — make the hot
+      partition one unsplittable block (the r11 probe's fixture:
+      1 file, 1 row group, 100 % of rows from ONE map);
+  (3) shape: BOTH join children must be Sort over a BARE
+      ENSURE_REQUIREMENTS ShuffleQueryStageExec — reusing an upstream
+      aggregation's partitioning on the join key (distinct/groupBy
+      feeding the join) removes the Exchange and disqualifies the join
+      entirely.  ``forceOptimizeSkewedJoin`` waives only the
+      extra-shuffle cost veto, none of the above.
 - ``join_bucketed_colocated``: both fact sides written bucketed by the
   join key, then joined — the join runs shuffle-free (no Exchange in
   the plan, pinned by tests/test_plans.py). At 100 TB this is THE

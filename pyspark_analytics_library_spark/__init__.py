@@ -38,6 +38,7 @@ __all__ = [
     "lag_lead",
     "dedup_exact_keep_min",
     "minhash_lsh_pairs",
+    "connected_components",
     "reclaim_iteration_scratch",
     "word_shingles",
     "jaccard",
@@ -76,6 +77,10 @@ def __getattr__(name: str):
         "minhash_lsh_pairs": (
             "pyspark_analytics_library_spark.operators.dedup",
             "minhash_lsh_pairs",
+        ),
+        "connected_components": (
+            "pyspark_analytics_library_spark.operators.dedup",
+            "connected_components",
         ),
         "reclaim_iteration_scratch": (
             "pyspark_analytics_library_spark.operators.dedup",

@@ -583,3 +583,97 @@ def q_pipeline_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_fuzzy_dedup_exact",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
+    ), u AS (
+        SELECT doc_id, lang, unnest(words) AS w,
+               generate_subscripts(words, 1) AS pos
+        FROM t
+    ), s AS (
+        SELECT doc_id, lang,
+               w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), shl AS (
+        SELECT doc_id, lang, list_distinct(list(sh)) AS shingles
+        FROM s WHERE sh IS NOT NULL GROUP BY doc_id, lang
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.2
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(v, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.v
+        WHERE r.label < e.dst
+    ), comp AS (
+        SELECT v AS doc_id, MIN(label) AS component FROM reach GROUP BY v
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           ROUND((COUNT(*) - SUM(CASE WHEN c.doc_id = c.component THEN 1 ELSE 0 END))
+                 * 1.0 / COUNT(*), 4) AS dup_rate
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def q_pipeline_fuzzy_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fuzzy-dedup composite seam at FULL ORACLE STRENGTH: identical
+    pipeline shape to :func:`q_pipeline_fuzzy_dedup` (candidate pairs →
+    connected components → min-id keepers → per-lang yield) but with
+    the DuckDB-expressible candidate generator —
+    :func:`..dedup.ngram_jaccard_pairs` (exact within-lang 3-shingle
+    Jaccard ≥ 0.2, inverted-index join) — in place of minhash-LSH, so
+    the ENTIRE composite (including the CC loop's per-round checkpoint
+    contract and the keeper rollup) is hash-attested against a
+    recursive-CTE closure, not just rows-only.  Together the twins
+    cover the seam both ways: `pipeline_fuzzy_dedup` runs the true
+    100 TB candidate generator (LSH) with a union-find twin in pytest;
+    this query runs the oracle-able generator through the same
+    downstream plan with driver-side value attestation.
+
+    n-gram pairs are within-language by construction, so components
+    never span langs and the per-lang attribution is exact."""
+    from pyspark_analytics_library_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text", "lang")
+    pairs = ngram_jaccard_pairs(docs)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = docs.select(F.col("doc_id").alias("v"))
+    lab = connected_components(edges, verts)
+    labeled = docs.select("doc_id", "lang").join(
+        lab, docs.doc_id == lab.v
+    ).select("doc_id", "lang", F.col("label").alias("component"))
+    kept = F.sum(
+        F.when(F.col("doc_id") == F.col("component"), 1).otherwise(0)
+    )
+    return (
+        labeled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            kept.alias("n_kept"),
+            (F.count(F.lit(1)) - kept).alias("n_removed"),
+            F.round(
+                (F.count(F.lit(1)) - kept) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("lang")
+    )

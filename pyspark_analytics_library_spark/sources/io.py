@@ -283,7 +283,16 @@ def sink_parquet(
 ) -> None:
     """Parquet writer.  ``partition_by`` produces the hive-style layout
     that enables partition pruning on re-read — the 100 TB default for
-    fact tables (partition by a low-cardinality time bucket)."""
+    fact tables (partition by a low-cardinality time bucket).
+
+    Operational note (r12 AQE root-cause, SCALE.md): keep row groups
+    bounded (``parquet.block.size``; Spark's 128 MB default is fine —
+    the hazard is single-row-group compaction jobs).  A file whose rows
+    live in ONE giant row group is read by ONE effective scan task no
+    matter how many byte-range splits Spark makes, which serializes the
+    scan AND disables AQE's skew-join split downstream: the split can
+    only cut a hot shuffle partition at map-output boundaries, and a
+    one-map stage leaves it a single unsplittable block."""
     writer = df.write.mode(mode)
     if partition_by:
         # a bare name is ONE partition column, not characters

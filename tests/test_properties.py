@@ -130,6 +130,17 @@ def test_fuzzy_dedup_composite_matches_python_closure(spark):
         for r in REGISTRY["pipeline_fuzzy_dedup"].fn(spark, TEST_SF_DIR).collect()
     }
     assert got == want
+    # Reclaim this test's CC scratch generation: the session-scoped app
+    # accumulates generations across tests, and the reclaim test later
+    # in this module asserts an EXACT deletion count under its conf
+    # root — a leftover default-root generation from here would be
+    # swept into (and break) that count.  The result is fully collected
+    # above, so nothing still references the backing parquet.
+    from pyspark_analytics_library_spark.operators.dedup import (
+        reclaim_iteration_scratch,
+    )
+
+    reclaim_iteration_scratch(spark, keep_latest=False)
 
 
 def test_simhash_identical_docs_same_signature(spark):

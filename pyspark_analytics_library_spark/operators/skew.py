@@ -40,6 +40,11 @@ oracles — the oracle is the unsalted/unbucketed SQL):
       feeding the join) removes the Exchange and disqualifies the join
       entirely.  ``forceOptimizeSkewedJoin`` waives only the
       extra-shuffle cost veto, none of the above.
+  The completing measurement (SCALE.md round-12 follow-up): with the
+  LAYOUT fixed — 64 map blocks, shuffled row order — the split engages
+  at STOCK thresholds on the same 100 M-row join and fixes the
+  straggler (15.1 s vs 46.4 s warm), while ``salted_join`` still
+  matched or beat it (9.9 s) and needs no layout cooperation.
 - ``join_bucketed_colocated``: both fact sides written bucketed by the
   join key, then joined — the join runs shuffle-free (no Exchange in
   the plan, pinned by tests/test_plans.py). At 100 TB this is THE

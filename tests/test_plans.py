@@ -556,3 +556,14 @@ def test_dpp_scan_reads_fewer_files_than_static(spark):
     num_files, static_files = partitioned[0]
     assert static_files == 5, (num_files, static_files)
     assert num_files == 1, (num_files, static_files)
+
+
+def test_scan_jdbc_reads_sharded(spark):
+    """The declared scan_jdbc query must read through the PARTITIONED
+    jdbc path — `Scan JDBCRelation(...) [numPartitions=4]` in the plan
+    and 4 RDD partitions — not the single-connection funnel.  This is
+    the 100 TB-relevant half of the JDBC surface: an unsharded
+    production ingest serializes the whole table through one executor
+    no matter how large the cluster."""
+    df = REGISTRY["scan_jdbc"].fn(spark, TEST_SF_DIR)
+    assert_in_plan(df, "JDBCRelation(nation_jdbc) [numPartitions=4]")

@@ -677,3 +677,76 @@ def q_pipeline_fuzzy_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("pipeline_fuzzy_contamination", tags=("rows-only",))  # LSH: xxhash64
+def q_pipeline_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP eval-contamination audit — the fuzzy complement of
+    :func:`q_pipeline_contamination_check` (which catches exact shared
+    4-grams): a test-split document is contaminated if it forms a
+    VERIFIED MinHash-LSH near-dup pair (Jaccard ≥ 0.4) with any
+    train-split document.  Exact-overlap checks miss lightly-edited
+    eval leakage (reworded prompts, whitespace/punct variants); this is
+    the check an LLM eval pipeline runs alongside the exact one.
+
+    Same deterministic sha-nibble content split as the exact twin
+    (train 0–b, val c–d, test e–f), so the two audits grade the same
+    partition of the corpus.  Rows-only at the driver (LSH/xxhash64 —
+    SURVEY §5.3.5);
+    tests/test_properties.py::test_fuzzy_contamination_matches_python_twin
+    re-derives the result from the collected pair list exactly.
+
+    Scale posture: candidate generation is the bucketed LSH equi-join
+    (never all-pairs); the split tags join each pair end by doc_id —
+    corpus-sized sides, merge-hinted per the r9 broadcast-misestimate
+    finding.  The per-lang rollup is one shuffle.
+    """
+    from pyspark_analytics_library_spark.operators.dedup import minhash_lsh_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text", "lang")
+    nibble = F.substring(F.sha2(F.col("text"), 256), 1, 1)
+    tagged = docs.withColumn(
+        "split",
+        F.when(nibble.between("0", "b"), "train")
+        .when(nibble.isin("c", "d"), "val")
+        .otherwise("test"),
+    )
+    tags = tagged.select("doc_id", "split")
+    pairs = minhash_lsh_pairs(docs)
+    # Each verified pair, both directions: (x, y) = x near-dups y.
+    ends = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
+        pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+    )
+    hits = (
+        ends.join(
+            tags.hint("merge").select(F.col("doc_id").alias("x"), F.col("split").alias("sx")),
+            "x",
+        )
+        .join(
+            tags.hint("merge").select(F.col("doc_id").alias("y"), F.col("split").alias("sy")),
+            "y",
+        )
+        .filter((F.col("sx") == "test") & (F.col("sy") == "train"))
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+    )
+    test_counts = (
+        tagged.filter(F.col("split") == "test")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_test"))
+    )
+    contaminated = (
+        hits.join(tagged.hint("merge").select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        test_counts.join(contaminated, "lang", "left")
+        .select(
+            "lang",
+            "n_test",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )

@@ -143,6 +143,51 @@ def test_fuzzy_dedup_composite_matches_python_closure(spark):
     reclaim_iteration_scratch(spark, keep_latest=False)
 
 
+def test_fuzzy_contamination_matches_python_twin(spark):
+    """pipeline_fuzzy_contamination is rows-only (LSH/xxhash64) but
+    deterministic: re-derive it from the collected LSH pair list and
+    the sha-nibble split computed in Python, require exact equality."""
+    import hashlib as _hashlib
+
+    from pyspark_analytics_library_spark.operators.dedup import minhash_lsh_pairs
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    t = load_tables(spark, TEST_SF_DIR)
+    docs = t["documents"].select("doc_id", "text", "lang").collect()
+    split = {}
+    lang_of = {}
+    for r in docs:
+        nib = _hashlib.sha256(r["text"].encode()).hexdigest()[0]
+        split[r["doc_id"]] = (
+            "train" if nib <= "b" else ("val" if nib in "cd" else "test")
+        )
+        lang_of[r["doc_id"]] = r["lang"]
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            t["documents"].select("doc_id", "text", "lang")
+        ).collect()
+    ]
+    contaminated = set()
+    for a, b in pairs:
+        if split[a] == "test" and split[b] == "train":
+            contaminated.add(a)
+        if split[b] == "test" and split[a] == "train":
+            contaminated.add(b)
+    want = {}
+    for d, s in split.items():
+        if s == "test":
+            lang = lang_of[d]
+            n_test, n_cont = want.setdefault(lang, [0, 0])
+            want[lang][0] = n_test + 1
+            want[lang][1] = n_cont + (1 if d in contaminated else 0)
+    got = {
+        r["lang"]: [r["n_test"], r["n_contaminated"]]
+        for r in REGISTRY["pipeline_fuzzy_contamination"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_simhash_identical_docs_same_signature(spark):
     from pyspark.sql import functions as F
 

@@ -750,3 +750,115 @@ def q_pipeline_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "pipeline_incremental_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
+    ), u AS (
+        SELECT doc_id, lang, unnest(words) AS w,
+               generate_subscripts(words, 1) AS pos
+        FROM t
+    ), s AS (
+        SELECT doc_id, lang,
+               w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+        FROM u WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ), shl AS (
+        SELECT doc_id, lang, list_distinct(list(sh)) AS shingles
+        FROM s WHERE sh IS NOT NULL GROUP BY doc_id, lang
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM shl a JOIN shl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_filter(a.shingles, x -> list_contains(b.shingles, x)))) >= 0.2
+    ), newdocs AS (
+        SELECT doc_id, lang FROM documents WHERE source IN ('src18', 'src19')
+    ), olddocs AS (
+        SELECT doc_id FROM documents WHERE source NOT IN ('src18', 'src19')
+    ), rejected AS (
+        SELECT DISTINCT e.x AS doc_id FROM (
+            SELECT id_a AS x, id_b AS y FROM pairs
+            UNION ALL
+            SELECT id_b AS x, id_a AS y FROM pairs
+        ) e
+        JOIN newdocs n ON e.x = n.doc_id
+        JOIN olddocs o ON e.y = o.doc_id
+    )
+    SELECT n.lang,
+           COUNT(*) AS n_new,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rejected,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM newdocs n LEFT JOIN rejected r ON n.doc_id = r.doc_id
+    GROUP BY n.lang ORDER BY n.lang
+    """,
+)
+def q_pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the daily-crawl-vs-historical-index
+    shape every continuously-fed corpus runs: a NEW batch (sources
+    src18/src19, the fixture's stand-in for today's crawl) is admitted
+    only if no document in the EXISTING corpus (src0–17) is a same-lang
+    near-duplicate (3-shingle Jaccard ≥ 0.2, the exact inverted-index
+    join of :func:`..dedup.ngram_jaccard_pairs`).  Differs from
+    within-corpus dedup (`pipeline_fuzzy_dedup*`): here the existing
+    side is never mutated and new-vs-new duplicates are NOT rejected —
+    admission is judged against the index alone, so the operator is
+    idempotent per batch and needs no connected components.
+
+    Fully oracled (hash strength): the pair generator is the
+    DuckDB-expressible exact-Jaccard join, the membership split is a
+    source predicate, and the rollup is per-lang
+    (n_new / n_rejected / n_admitted).
+
+    Scale posture: at 100 TB the existing side's shingle postings are
+    the big relation — the inverted-index equi-join on (lang, shingle)
+    bounds candidates by shingle document-frequency (never all-pairs),
+    the same shape ngram_jaccard_pairs documents; a production variant
+    would swap in the LSH generator exactly as the fuzzy twins do.
+    Side membership joins are corpus-sized → merge-hinted.
+    """
+    from pyspark_analytics_library_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    is_new = F.col("source").isin("src18", "src19")
+    pairs = ngram_jaccard_pairs(docs.select("doc_id", "text", "lang"))
+    membership = docs.select("doc_id", is_new.alias("is_new"))
+    ends = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
+        pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+    )
+    rejected = (
+        ends.join(
+            membership.hint("merge").select(
+                F.col("doc_id").alias("x"), F.col("is_new").alias("x_new")
+            ),
+            "x",
+        )
+        .join(
+            membership.hint("merge").select(
+                F.col("doc_id").alias("y"), F.col("is_new").alias("y_new")
+            ),
+            "y",
+        )
+        .filter(F.col("x_new") & ~F.col("y_new"))
+        .select(F.col("x").alias("doc_id"))
+        .distinct()
+        .withColumn("rejected", F.lit(True))
+    )
+    new_docs = docs.filter(is_new).select("doc_id", "lang")
+    return (
+        new_docs.join(rejected.hint("merge"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.when(F.col("rejected"), 1).otherwise(0)).alias("n_rejected"),
+            F.sum(F.when(F.col("rejected").isNull(), 1).otherwise(0)).alias(
+                "n_admitted"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -289,3 +289,36 @@ def q_join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice") / 1e6, 4).alias("total_price_m"),
         )
     )
+
+
+@query(
+    "agg_distinct_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_agg_distinct_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact count-distinct: spelled distinct-then-count —
+    `select(key, value).distinct()` (the shuffle keys on BOTH columns,
+    so a hot grouping key spreads across every reducer) followed by a
+    count of pre-collapsed singletons.  Same result as `agg_distinct`'s
+    plain `countDistinct` (the oracle is identical SQL); the point is
+    the PLAN: the r12 probe measured the plain spelling at 143.7 s vs
+    this one at 45.1 s (3.2×) on a 50 %-hot key at 200 M rows, because
+    countDistinct's partial state — the per-task distinct SET of the
+    hot key — is the one aggregation state map-side combine cannot
+    collapse (SCALE.md round-12 follow-up).  At 100 TB this spelling
+    (or `approx_count_distinct` when ±2 % is acceptable —
+    `agg_approx_distinct`) is the difference between a straggler-bound
+    job and a uniform one."""
+    t = load_tables(spark, sf_dir)
+    pairs = t["events"].select("event_type", "user_id").distinct()
+    return (
+        pairs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )

@@ -618,3 +618,86 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _assign_nearest(C: "np.ndarray"):
+    """mapInPandas generator: (vec_id, embedding) → nearest centroid by
+    squared L2 (vectorized; ties broken by lowest cluster index, which
+    np.argmin guarantees)."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (A * A).sum(axis=1, keepdims=True)
+                - 2.0 * (A @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cluster": np.argmin(d2, axis=1).astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return gen
+
+
+def distributed_kmeans_assign(
+    e: DataFrame, k: int = 8, iters: int = 5
+) -> DataFrame:
+    """Fully DISTRIBUTED Lloyd k-means: per-iteration Arrow-batched
+    nearest-centroid assignment (mapInPandas) + distributed centroid
+    update (posexplode → groupBy(cluster, dim) avg), with only the
+    k×dim centroid matrix crossing to the driver each round — the
+    iterative-ML companion to :func:`train_ivf_centroids`, which
+    trains on a bounded driver-side SAMPLE (the FAISS recipe).  Use
+    this shape when the training set itself is the 100 TB table: state
+    on the driver is k×dim floats per iteration (the same bounded
+    class as PageRank's rank vector), every data-sized operation is a
+    scan + one shuffle of k×dim partial sums (map-side combine
+    collapses each task to ≤ k×dim rows before the exchange).
+
+    Deterministic: init = the first ``k`` vectors by vec_id
+    (orderBy before limit — layout-independent), fixed ``iters``, no
+    RNG; reruns are exact, enabling the numpy-twin test.
+    """
+    init = e.orderBy("vec_id").limit(k).collect()  # k rows: bounded
+    C = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in init]
+    )
+    schema = "vec_id long, cluster int, embedding array<float>"
+    for _ in range(iters):
+        assigned = e.mapInPandas(_assign_nearest(C), schema)
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # k×dim rows: bounded, not data-sized
+        )
+        for r in upd:
+            C[r["cluster"], r["dim"]] = r["m"]
+    return e.mapInPandas(_assign_nearest(C), schema).select(
+        "vec_id", "cluster"
+    )
+
+
+@query("sim_kmeans_assign", tags=("rows-only",))  # iterative float loop
+def q_sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means cluster assignment over the embeddings
+    table (k=8, 5 iterations, deterministic init) — see
+    :func:`distributed_kmeans_assign`.  Rows-only: the result depends
+    on float iteration no SQL engine reproduces bit-exactly, but it is
+    rerun-exact and
+    tests/test_properties.py::test_kmeans_assign_matches_numpy_twin
+    re-derives every assignment with an independent numpy
+    implementation (plus a near-tie margin guard, so the comparison is
+    robust to summation-order ulps)."""
+    t = load_tables(spark, sf_dir)
+    e = t["embeddings"].select("vec_id", "embedding")
+    return distributed_kmeans_assign(e).orderBy("vec_id")

@@ -237,7 +237,7 @@ def ordered_registry() -> dict[str, QuerySpec]:
     queries per round and committed CORRECTNESS files as the only
     state, the attestation floor (min over queries of the latest green
     round) advances whenever the stalest tier has <= K members, because
-    that whole tier sits in the K-prefix.  With 196 queries and K=50
+    that whole tier sits in the K-prefix.  With 197 queries and K=50
     the steady state is a 4-round rotation — no query's latest green
     row is ever older than 4 rounds — PROVIDED (a) new queries are not
     added faster than K/round, (b) pins are temporary (each clears on

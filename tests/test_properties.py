@@ -188,6 +188,54 @@ def test_fuzzy_contamination_matches_python_twin(spark):
     assert got == want
 
 
+def test_kmeans_assign_matches_numpy_twin(spark):
+    """sim_kmeans_assign re-derived by an independent numpy Lloyd loop:
+    same deterministic init (first k by vec_id), same k/iters — every
+    assignment must match, and a near-tie margin guard proves the
+    comparison is robust (no vector sits within 1e-9 relative of two
+    centroids, so summation-order ulps cannot flip a cluster)."""
+    import numpy as np
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    t = load_tables(spark, TEST_SF_DIR)
+    rows = t["embeddings"].select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    k, iters = 8, 5
+    C = M[:k].copy()
+
+    def d2(A, C):
+        return (
+            (A * A).sum(axis=1, keepdims=True)
+            - 2.0 * (A @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+
+    for _ in range(iters):
+        assign = np.argmin(d2(M, C), axis=1)
+        for j in range(k):
+            members = M[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    dist = d2(M, C)
+    assign = np.argmin(dist, axis=1)
+    # near-tie margin guard: best vs second-best distance must be
+    # separated far beyond float-summation noise for EVERY vector
+    s = np.sort(dist, axis=1)
+    margin = (s[:, 1] - s[:, 0]) / np.maximum(s[:, 1], 1e-30)
+    assert margin.min() > 1e-9, f"near-tie at margin {margin.min()}"
+    want = dict(zip(ids.tolist(), assign.tolist()))
+
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in REGISTRY["sim_kmeans_assign"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want
+    # sanity: k clusters actually in use on the fixture
+    assert len(set(got.values())) > 1
+
+
 def test_simhash_identical_docs_same_signature(spark):
     from pyspark.sql import functions as F
 

@@ -36,8 +36,10 @@ WHITELIST = {
     # one scalar-aggregate row, both bounded by the statistic list
     "operators/aggregates.py": 2,
     # dim probe (1 row) + IndexTooLargeError-gated index build +
-    # IVF centroid sample (limit(sample))
-    "operators/similarity.py": 3,
+    # IVF centroid sample (limit(sample)) + distributed k-means'
+    # two bounded collects (k-row init; k×dim centroid update per
+    # iteration — the PageRank-rank-vector size class)
+    "operators/similarity.py": 5,
     # dense triangle census: degree table + edge list, both behind the
     # vertex AND edge caps that dispatch to the sparse path; plus the
     # sparse path's 1-row triangle-sum collect (lets the census delete

@@ -69,6 +69,12 @@ HEADLINE = {
     "join_asof": "join_asof",
     "salted_join": "join_salted_skew",
     "fuzzy_dedup": "pipeline_fuzzy_dedup",
+    # Late round-12 additions: the distributed Lloyd loop (regression
+    # risk: the centroid update growing a non-combining shuffle) and
+    # the crawl-vs-index admission gate (risk: the membership joins
+    # regressing to a corpus-sized broadcast).
+    "kmeans_assign": "sim_kmeans_assign",
+    "incremental_dedup": "pipeline_incremental_dedup",
 }
 
 #: Round-3 additions — excluded from the headline `value` so it stays
@@ -87,6 +93,8 @@ EXTENDED = {
     "join_asof",
     "salted_join",
     "fuzzy_dedup",
+    "kmeans_assign",
+    "incremental_dedup",
 }
 
 
@@ -114,6 +122,8 @@ def main() -> None:
         # fn() runs the CC loop (per-round checkpoints) and the Derby-
         # free LSH stage eagerly before returning the 5-row rollup.
         "fuzzy_dedup",
+        # per-iteration centroid collects run eagerly inside fn()
+        "kmeans_assign",
     }
 
     timings: dict[str, float] = {}

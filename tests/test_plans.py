@@ -567,3 +567,43 @@ def test_scan_jdbc_reads_sharded(spark):
     no matter how large the cluster."""
     df = REGISTRY["scan_jdbc"].fn(spark, TEST_SF_DIR)
     assert_in_plan(df, "JDBCRelation(nation_jdbc) [numPartitions=4]")
+
+
+def test_no_query_plans_a_shuffled_cartesian(spark):
+    """Registry-wide anti-pattern guard: no declared query's plan may
+    contain a CartesianProduct (the shuffled all-pairs join).  The
+    package's documented cross joins are all bounded-small sides that
+    plan as BroadcastNestedLoopJoin — a future query (or a planner-
+    behavior change) that degrades to a shuffled cartesian fails here
+    with its name, not at 100 TB.
+
+    Skips the queries whose fn() runs eager driver-paced work
+    (iterative loops, embedded self-checks, streaming runs, sink
+    round-trips) — their plans are audited by their own dedicated
+    tests, and building them here would re-run minutes of jobs for a
+    string grep."""
+    eager_or_streaming = {
+        # iterative / embedded-self-check / sink-writing queries
+        "dedup_connected_components", "dedup_watermarked",
+        "pipeline_fuzzy_dedup", "pipeline_fuzzy_dedup_exact",
+        "sim_kmeans_assign", "agg_describe", "graph_triangles",
+        "graph_pagerank_nations", "graph_degree_stats",
+        "sim_topk_exact", "sim_threshold_pairs", "sim_knn_labels",
+        "sim_ivf_approx", "sim_lsh_approx", "sim_range_search",
+        "scan_jdbc", "sink_parquet_roundtrip", "sink_csv_roundtrip",
+        "scan_json_roundtrip", "scan_orc_roundtrip", "scan_csv_options",
+        "scan_partition_pruning", "scan_schema_evolution", "scan_dpp",
+        "sink_merge_upsert", "sink_partition_overwrite",
+        "join_bucketed_colocated", "udf_gapply", "sample_stratified",
+        "ts_resample_interp",
+    }
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name in eager_or_streaming or name.startswith("stream_"):
+            continue
+        df = spec.fn(spark, TEST_SF_DIR)
+        if "CartesianProduct" in plan_text(df):
+            offenders.append(name)
+    assert not offenders, (
+        f"shuffled CartesianProduct planned by: {offenders}"
+    )

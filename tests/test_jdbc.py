@@ -79,3 +79,24 @@ def test_scan_jdbc_partitioned_read(spark, derby_url):
     assert df.count() == N_ROWS
     total = df.agg({"v": "sum"}).collect()[0][0]
     assert total == sum(i * 1.5 for i in range(N_ROWS))
+
+
+def test_declared_scan_jdbc_reentrant_in_one_jvm(spark):
+    """The declared query must survive repeated invocation in ONE JVM
+    (driver reruns, pytest sessions): embedded Derby keeps databases
+    booted per-path, and the pid-scoped scratch path is constant, so a
+    second call re-creates the same location after an rmtree — this
+    pins that the write.jdbc(create) → partitioned re-read cycle stays
+    green across three calls and two fixture SFs, values stable."""
+    from pyspark_analytics_library_spark.registry import (
+        REGISTRY,
+        load_all_query_modules,
+    )
+
+    from tests.conftest import TEST_SF_DIR
+
+    load_all_query_modules()
+    q = REGISTRY["scan_jdbc"].fn
+    r1 = sorted(map(tuple, q(spark, TEST_SF_DIR).collect()))
+    r2 = sorted(map(tuple, q(spark, TEST_SF_DIR).collect()))
+    assert r1 == r2 and len(r1) == 5

@@ -537,9 +537,11 @@ def q_pipeline_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a,b),(b,c) into one group even though (a,c) never scored) →
     keeper = the min-doc_id representative of each component
     (singletons keep themselves: their label IS their id) → per-lang
-    yield accounting, attributed to the KEEPER's language so the
-    global identity sum(n_kept) + sum(n_removed) = corpus size holds
-    even when an LSH component spans languages.
+    yield accounting, attributed to each document's OWN language —
+    removed docs in a cross-language component count under their own
+    lang, not the keeper's (ADVICE r12) — so the global identity
+    sum(n_kept) + sum(n_removed) = corpus size holds even when an LSH
+    component spans languages.
 
     Rows-only: the LSH stage hashes with xxhash64, which DuckDB 1.0.0
     lacks (SURVEY §5.3.5 exclusion class) — but the result is fully

@@ -639,7 +639,11 @@ def _assign_nearest(C: "np.ndarray"):
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "cluster": np.argmin(d2, axis=1).astype(np.int32),
-                    "embedding": pdf["embedding"],
+                    # reset_index: the other columns are positional numpy
+                    # arrays — a non-default-index Arrow batch would
+                    # otherwise align-by-label and misorder/NaN this column
+                    # relative to them (ADVICE r12).
+                    "embedding": pdf["embedding"].reset_index(drop=True),
                 }
             )
 
@@ -665,23 +669,33 @@ def distributed_kmeans_assign(
     (orderBy before limit — layout-independent), fixed ``iters``, no
     RNG; reruns are exact, enabling the numpy-twin test.
     """
-    init = e.orderBy("vec_id").limit(k).collect()  # k rows: bounded
-    C = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in init]
-    )
-    schema = "vec_id long, cluster int, embedding array<float>"
-    for _ in range(iters):
-        assigned = e.mapInPandas(_assign_nearest(C), schema)
-        upd = (
-            assigned.select(
-                "cluster", F.posexplode("embedding").alias("dim", "x")
-            )
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .collect()  # k×dim rows: bounded, not data-sized
+    # Persist the projected input across the Lloyd iterations (VERDICT
+    # r12 #5): each iteration's update job is a fresh action, so without
+    # the cache every round re-reads the scan — iters× redundant I/O at
+    # 100 TB.  Unpersisted after the loop: the returned frame is lazy,
+    # so a cache it depended on could never be released; the final
+    # assignment pass pays one re-scan instead of a permanent pin.
+    e = e.persist()
+    try:
+        init = e.orderBy("vec_id").limit(k).collect()  # k rows: bounded
+        C = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in init]
         )
-        for r in upd:
-            C[r["cluster"], r["dim"]] = r["m"]
+        schema = "vec_id long, cluster int, embedding array<float>"
+        for _ in range(iters):
+            assigned = e.mapInPandas(_assign_nearest(C), schema)
+            upd = (
+                assigned.select(
+                    "cluster", F.posexplode("embedding").alias("dim", "x")
+                )
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .collect()  # k×dim rows: bounded, not data-sized
+            )
+            for r in upd:
+                C[r["cluster"], r["dim"]] = r["m"]
+    finally:
+        e = e.unpersist()
     return e.mapInPandas(_assign_nearest(C), schema).select(
         "vec_id", "cluster"
     )

@@ -314,9 +314,20 @@ def q_agg_distinct_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse (SCALE.md round-12 follow-up).  At 100 TB this spelling
     (or `approx_count_distinct` when ±2 % is acceptable —
     `agg_approx_distinct`) is the difference between a straggler-bound
-    job and a uniform one."""
+    job and a uniform one.
+
+    NULL semantics (ADVICE r12): a bare ``distinct()`` keeps one row
+    for a NULL value, while ``COUNT(DISTINCT user_id)`` ignores NULLs —
+    so the NULL filter below is what makes the two spellings equivalent
+    on data with NULL user_ids (the fixture has none, but the spelling
+    is the prescription and must not silently off-by-one elsewhere)."""
     t = load_tables(spark, sf_dir)
-    pairs = t["events"].select("event_type", "user_id").distinct()
+    pairs = (
+        t["events"]
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+        .distinct()
+    )
     return (
         pairs.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_users"))

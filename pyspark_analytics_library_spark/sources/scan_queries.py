@@ -472,14 +472,20 @@ def q_scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     preserve every value exactly — full hash strength, not rows-only.
 
     The returned frame stays LAZY (the driver collects after we
-    return), so the Derby database must outlive this call: scratch is
-    pid-scoped and janitored by the shared dead-pid pruner, never
-    deleted in-call.  Embedded Derby is single-JVM — exactly the
-    local[N] shape — while a cluster run would point the same options
-    at a networked RDBMS; the plan is identical either way
-    (JDBCRelation with 4 range-sharded partitions).
+    return), so the Derby database must outlive this call: each call
+    boots its own uuid-leafed database under the pid scratch (ADVICE
+    r12 — a shared leaf would be rmtree'd by the NEXT call's
+    ``_scratch()``, yanking the files out from under any
+    still-uncollected prior frame), and the whole pid dir is reclaimed
+    by the shared dead-pid janitor once the process exits.  Embedded
+    Derby is single-JVM — exactly the local[N] shape — while a cluster
+    run would point the same options at a networked RDBMS; the plan is
+    identical either way (JDBCRelation with 4 range-sharded
+    partitions).
     """
-    path = _scratch("derby_jdbc")
+    import uuid
+
+    path = _scratch(f"derby_jdbc_{uuid.uuid4().hex[:8]}")
     # Keep derby.log inside the scratch dir (no-op after the engine
     # first boots in this JVM; the DB path itself is absolute).
     spark._jvm.java.lang.System.setProperty("derby.system.home", path)

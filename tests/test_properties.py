@@ -120,8 +120,17 @@ def test_fuzzy_dedup_composite_matches_python_closure(spark):
         n_docs, n_kept = expected.setdefault(lang, [0, 0])
         expected[lang][0] = n_docs + 1
         expected[lang][1] = n_kept + (1 if find(d) == d else 0)
+    # HALF_UP at 4 dp, matching Spark's F.round (BigDecimal.valueOf →
+    # shortest-repr decimal, setScale HALF_UP) — Python's round() is
+    # banker's and would flip on an exactly-representable half like
+    # 1/160 = 0.00625 (ADVICE r12).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round4(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
     want = {
-        lang: (nd, nk, nd - nk, round((nd - nk) / nd, 4))
+        lang: (nd, nk, nd - nk, _round4((nd - nk) / nd))
         for lang, (nd, nk) in expected.items()
     }
 

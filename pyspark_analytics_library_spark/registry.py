@@ -105,7 +105,13 @@ class _Pin:
 #: threshold 4x->1.5x, cleared r9); query_important_stock /
 #: query_volume_shipping (until r10, scale-invariant threshold
 #: rewrites from the all-SF vacuity sweep, cleared r10 at 155/14 rows).
-_PRIORITY: dict[str, _Pin] = {}
+#:
+#: mm_decode_batch (until r13): round 13 replaced the hash-derived
+#: decode stub with the real IMG1 binary codec — new output schema
+#: (width/height/n_px/px_md5/px_sum), new oracle.  expect_rows=None
+#: per the _Pin contract: the driver-SF row count (500 = all
+#: documents) does not move with the change.
+_PRIORITY: dict[str, _Pin] = {"mm_decode_batch": _Pin(until=13)}
 
 
 def _row_green(row: object) -> bool:

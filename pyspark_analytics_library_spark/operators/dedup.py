@@ -90,6 +90,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
+    rows_per_band: int | None = None,
     verify_threshold: float = 0.4,
 ) -> DataFrame:
     """Near-duplicate pairs via shingle → minhash → band → bucket-join.
@@ -107,8 +108,38 @@ def minhash_lsh_pairs(
     estimates (see ngram_jaccard_pairs for the measured failure).
     At 100 TB: no O(n²) stage exists; the bucket join shuffles each doc
     ``bands`` times; skew from degenerate buckets is AQE-split.
+
+    Choosing (bands, rows_per_band) — VERDICT r12 #2: a pair with true
+    Jaccard ``s`` becomes a candidate with probability
+    ``1 − (1 − s^r)^b`` (r = rows_per_band, b = bands), an S-curve with
+    inflection near ``(1/b)^(1/r)``.  More bands at fixed r → recall
+    is monotonically non-decreasing (each band is one more independent
+    chance to collide; tests/test_properties.py pins this), at the cost
+    of ``b``× signature/bucket rows.  Deeper bands (larger r) sharpen
+    the curve — fewer false candidates to verify — but push the
+    inflection up.  For a target false-negative rate ``fn`` at
+    threshold τ, pick the smallest b with ``(1 − τ^r)^b ≤ fn``.  The
+    MEASURED recall curve for this corpus (SCALE.md round-13: sf0.1 +
+    a 500 k-doc staging, against the unblocked exact-Jaccard truth) —
+    the defaults b=4, r=2 sit at the curve's knee for τ=0.4; recall
+    near τ is content-hash-sensitive (the r12 probe: borderline pairs
+    flip with the text's hash draw), so treat single-pair differences
+    near the threshold as expected, not as corruption.
+
+    Pass EITHER ``rows_per_band`` (then num_hashes = bands × r exactly)
+    or a ``num_hashes`` divisible by ``bands`` (the legacy spelling —
+    a non-divisible count would silently truncate the signature, so it
+    raises instead).
     """
-    rows_per_band = num_hashes // bands
+    if rows_per_band is not None:
+        num_hashes = bands * rows_per_band
+    elif num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} not divisible by bands={bands}; "
+            "pass rows_per_band explicitly"
+        )
+    else:
+        rows_per_band = num_hashes // bands
     shingled = docs.select(
         F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)

@@ -124,7 +124,24 @@ def q_text_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per language, pure DataFrame algebra (no
     ml.feature — identical arithmetic must run on both engines).
-    tf = corpus term count per lang; idf = ln((N+1)/(df+1))."""
+    tf = corpus term count per lang; idf = ln((N+1)/(df+1)).
+
+    Two-phase top-k (round-13 500 k-doc probe, SCALE.md): a single
+    window partitioned by lang funnels the whole vocab-sized score
+    table into ≤ |langs| sort tasks — a guaranteed straggler at a
+    100 TB vocabulary, though NOT the measured bottleneck at the probe
+    (the fixture vocab collapses to 15.5 k rows; the 27 M-token
+    explode+aggregate scan dominates and the two-phase cost is noise:
+    32.1 s vs 33.7 s single-window).  Phase 1 ranks within (lang,
+    32-way word-hash salt) — ~32× parallel — and keeps each bucket's
+    top-5; phase 2 ranks the ≤ 160 survivors per lang.  LOSSLESS:
+    (score desc, word asc) is a total order and every global-top-5 row
+    is necessarily in its own bucket's top-5, so the final rn over
+    survivors equals the rn over the full table.  The per-lang doc
+    counts stay an explicit broadcast (|langs| rows — the totals side
+    the probe confirmed broadcast-safe; the probe also verified the
+    FULL 500 k-doc output against DuckDB exactly, both before and
+    after this rewrite)."""
     t = load_tables(spark, sf_dir)
     tokens = t["documents"].select(
         "doc_id", "lang", F.explode(tokenize()).alias("word")
@@ -134,9 +151,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w_salted = Window.partitionBy(
+        "lang", F.pmod(F.xxhash64(F.col("word")), F.lit(32))
+    ).orderBy(score.desc(), F.col("word").asc())
     w = Window.partitionBy("lang").orderBy(score.desc(), F.col("word").asc())
     return (
         tf.join(F.broadcast(n), "lang")
+        .withColumn("_bucket_rn", F.row_number().over(w_salted))
+        .filter(F.col("_bucket_rn") <= 5)
         .select(
             "lang",
             "word",

@@ -77,6 +77,42 @@ HEADLINE = {
     "incremental_dedup": "pipeline_incremental_dedup",
 }
 
+#: Per-row regression bars (VERDICT r12 #7): each row's reference is
+#: the governing BASELINE.md number — the latest superseding reference
+#: row, lifted to the documented idle-band MAX where a calibration band
+#: exists (BASELINE.md r9 §"attestation-outlier bands" for
+#: dedup_components/graph_triangles/describe_summary; the r12 rows for
+#: fuzzy_dedup/kmeans_assign are already band maxima).  The bar is 2×
+#: that reference — the same ≤2× rule the judge applies by hand —
+#: emitted per row as `over_bar` so a regression is machine-readable
+#: in BENCH_rN.json instead of judge-computed.
+REFERENCE = {
+    "pricing_summary": 0.071,
+    "star_join_revenue": 0.070,
+    "window_topk": 0.268,
+    "distinct_agg": 0.043,
+    "sessionize_batch": 0.033,
+    "text_wordcount": 0.040,
+    "dedup_exact": 0.039,
+    "similarity_topk": 0.327,
+    "dedup_components": 5.58,  # r9 idle band max (4.44–5.58)
+    "contamination_check": 0.033,
+    "pack_sequences": 0.026,
+    "similarity_ivf": 0.054,
+    "ngram_jaccard": 0.091,
+    "similarity_lsh": 0.141,
+    "graph_triangles": 2.50,  # r9 idle band max (2.22–2.50)
+    "graph_pagerank": 0.094,
+    "resample_interp": 0.135,
+    "describe_summary": 1.29,  # reference row; r9 band max is lower (1.24)
+    "join_asof": 0.78,
+    "salted_join": 0.028,
+    "fuzzy_dedup": 3.09,  # max of the three r12 idle calibration readings
+    "kmeans_assign": 2.23,  # higher of the two r12 idle readings
+    "incremental_dedup": 0.039,
+}
+BAR_FACTOR = 2.0
+
 #: Round-3 additions — excluded from the headline `value` so it stays
 #: comparable with BASELINE.md's original 8-query suite total.
 EXTENDED = {
@@ -150,6 +186,15 @@ def main() -> None:
     # (regression bar: BASELINE.md §"Round-3 regression reference").
     original8 = [n for n in HEADLINE if n not in EXTENDED]
     total = round(sum(timings[n] for n in original8), 4)
+    # Machine-readable bar check: only meaningful at the reference SF
+    # (the BASELINE.md numbers are sf0.1); at other SFs the bars are
+    # emitted as null rather than falsely green/red.
+    at_ref_sf = sf == 0.1
+    over_bar = {
+        n: (timings[n] > BAR_FACTOR * REFERENCE[n]) if at_ref_sf else None
+        for n in HEADLINE
+        if n in REFERENCE
+    }
     print(
         json.dumps(
             {
@@ -159,6 +204,8 @@ def main() -> None:
                 "extended_total_sec": round(sum(timings.values()), 4),
                 "queries": timings,
                 "rows": rows,
+                "over_bar": over_bar,
+                "any_over_bar": any(over_bar.values()) if at_ref_sf else None,
                 "sf": sf,
             }
         )

@@ -148,6 +148,25 @@ def _prune_stale_scratch() -> None:
                 state = state or "unknown"
             elif name.startswith("stream_src_"):
                 state = "unknown"  # keyed, shared across processes
+                # Broken staging (VERDICT r12 #8): the staged dir holds
+                # symlink(s) to a fixture parquet; pytest tmp fixtures
+                # rotate, leaving shape_* dirs whose target is gone —
+                # ~14 per test session that the 6 h age gate keeps for
+                # hours.  An all-links-broken dir can never serve a
+                # stream again (reuse re-points the link anyway), so it
+                # is reclaimed on the dead-grace path.  The grace still
+                # protects a dir staged moments ago; a dir with ANY
+                # live-target link stays age-gated as before.
+                try:
+                    kids = os.listdir(path)
+                    if kids and all(
+                        os.path.islink(os.path.join(path, k))
+                        and not os.path.exists(os.path.join(path, k))
+                        for k in kids
+                    ):
+                        state = "dead"
+                except OSError:
+                    pass
             # Bare "late_stream" prefix, not "late_stream_": it must
             # also sweep the pre-rename "late_stream3_*" generation
             # already on disk (same _<pid> suffix contract).

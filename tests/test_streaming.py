@@ -317,6 +317,35 @@ def test_scratch_janitor_prunes_leaked_dirs_only(tmp_path, monkeypatch):
         if mtime is not None:
             os.utime(d, (mtime, mtime))
 
+    # Broken-symlink staging (VERDICT r12 #8): a stream_src_* dir whose
+    # links ALL dangle (pytest tmp fixture rotated away) is reclaimed on
+    # the dead-grace path; a live-target link stays age-gated; a fresh
+    # broken dir is held by the grace; a mixed dir (any non-link or any
+    # live link) stays age-gated.
+    live_target = tmp_path / "live_fixture.parquet"
+    live_target.write_text("x")
+    sym_cases = {
+        "stream_src_shape_broken": (graced, tmp_path / "gone.parquet", True),
+        "stream_src_shape_broken_fresh": (None, tmp_path / "gone2.parquet", False),
+        "stream_src_shape_live": (graced, live_target, False),
+    }
+    for name, (mtime, target, _) in sym_cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        os.symlink(target, d / "events.parquet")
+        if mtime is not None:
+            os.utime(d, (mtime, mtime))
+    mixed = tmp_path / "stream_src_shape_mixed"
+    mixed.mkdir()
+    os.symlink(tmp_path / "gone3.parquet", mixed / "events.parquet")
+    (mixed / "marker").write_text("x")
+    os.utime(mixed, (graced, graced))
+    keep.update(
+        {n: None for n, (_, _, pruned) in sym_cases.items() if not pruned}
+    )
+    keep["stream_src_shape_mixed"] = None
+    keep["live_fixture.parquet"] = None  # plain file at the root — untouched
+
     monkeypatch.setattr(sq, "_SCRATCH", str(tmp_path))
     monkeypatch.setattr(sq, "_SCRATCH_PRUNED", False)
     sq._prune_stale_scratch()

@@ -111,7 +111,16 @@ class _Pin:
 #: (width/height/n_px/px_md5/px_sum), new oracle.  expect_rows=None
 #: per the _Pin contract: the driver-SF row count (500 = all
 #: documents) does not move with the change.
-_PRIORITY: dict[str, _Pin] = {"mm_decode_batch": _Pin(until=13)}
+#:
+#: sink_merge_upsert (until r13): check column rescaled
+#: total_price_k → total_price_m after the round-13 SCD-2 100× probe
+#: showed the /1e3 4-dp spelling sits inside cross-engine
+#: summation-order noise at 15 M rows.  Row count (5 status groups at
+#: sf0.01) does not move → expect_rows=None.
+_PRIORITY: dict[str, _Pin] = {
+    "mm_decode_batch": _Pin(until=13),
+    "sink_merge_upsert": _Pin(until=13),
+}
 
 
 def _row_green(row: object) -> bool:

@@ -376,7 +376,7 @@ def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
     )
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice) / 1000.0, 4) AS total_price_k
+           ROUND(SUM(o_totalprice) / 1000000.0, 4) AS total_price_m
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -443,7 +443,12 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice") / 1e3, 4).alias("total_price_k"),
+            # Reported in millions (round-13 SCD-2 100x probe): at 15 M
+            # rows the raw ~1e12 sum's cross-engine summation-order
+            # noise (~1e-1 absolute) crosses the /1e3 4-dp rounding
+            # threshold; /1e6 restores ~5 orders of margin (the
+            # agg_salted_skew discipline).
+            F.round(F.sum("o_totalprice") / 1e6, 4).alias("total_price_m"),
         )
         .orderBy("o_orderstatus")
     )
@@ -483,7 +488,7 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_closed,
-           ROUND(SUM(o_totalprice) / 1000.0, 4) AS total_price_k
+           ROUND(SUM(o_totalprice) / 1000000.0, 4) AS total_price_m
     FROM final
     GROUP BY o_orderstatus, is_current
     ORDER BY o_orderstatus, is_current
@@ -575,7 +580,12 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("valid_to").isNotNull().cast("int"))
             .cast("long")
             .alias("n_closed"),
-            F.round(F.sum("o_totalprice") / 1e3, 4).alias("total_price_k"),
+            # Reported in millions (round-13 SCD-2 100x probe): at 15 M
+            # rows the raw ~1e12 sum's cross-engine summation-order
+            # noise (~1e-1 absolute) crosses the /1e3 4-dp rounding
+            # threshold; /1e6 restores ~5 orders of margin (the
+            # agg_salted_skew discipline).
+            F.round(F.sum("o_totalprice") / 1e6, 4).alias("total_price_m"),
         )
         .orderBy("o_orderstatus", "is_current")
     )

@@ -146,9 +146,23 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = t["documents"].select(
         "doc_id", "lang", F.explode(tokenize()).alias("word")
     )
-    tf = tokens.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    # df spelled distinct-then-count, NOT countDistinct(doc_id): a
+    # stopword-class word appears in ~every document, and
+    # countDistinct's per-task partial state — the distinct doc_id SET
+    # per (lang, word) group — is the one aggregation state map-side
+    # combine cannot collapse (the r12 agg_distinct_skew finding, 3.2×
+    # at 200 M rows on a 50 %-hot key).  distinct() shuffles on all
+    # three columns, so a hot word spreads across every reducer and no
+    # task ever materializes a corpus-sized doc set.  Costs one extra
+    # vocab-sized join vs the fused two-agg groupBy — measured noise at
+    # the 500 k-doc probe (SCALE.md round-13).
+    tf_only = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_only = (
+        tokens.distinct()
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
+    tf = tf_only.join(df_only.hint("merge"), ["lang", "word"])
     n = t["documents"].groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w_salted = Window.partitionBy(

@@ -75,6 +75,14 @@ HEADLINE = {
     # regressing to a corpus-sized broadcast).
     "kmeans_assign": "sim_kmeans_assign",
     "incremental_dedup": "pipeline_incremental_dedup",
+    # Round-13 additions: both parquet-native merges (the SCD-2
+    # close-out window is new; SCD-1's check column was rescaled after
+    # the 15 M-row probe) — write-then-re-read queries whose regression
+    # risk is the merge window regrowing a join or the write path
+    # fattening.  Reference rows in BASELINE.md §"Round-13 regression
+    # reference".
+    "merge_upsert": "sink_merge_upsert",
+    "merge_scd2": "sink_merge_scd2",
 }
 
 #: Per-row regression bars (VERDICT r12 #7): each row's reference is
@@ -110,6 +118,8 @@ REFERENCE = {
     "fuzzy_dedup": 3.09,  # max of the three r12 idle calibration readings
     "kmeans_assign": 2.23,  # higher of the two r12 idle readings
     "incremental_dedup": 0.039,
+    "merge_upsert": 1.69,  # r13 idle band max (1.08-1.69; write jitter)
+    "merge_scd2": 1.10,  # r13 idle band max (0.98-1.10)
 }
 BAR_FACTOR = 2.0
 
@@ -131,6 +141,8 @@ EXTENDED = {
     "fuzzy_dedup",
     "kmeans_assign",
     "incremental_dedup",
+    "merge_upsert",
+    "merge_scd2",
 }
 
 
@@ -160,6 +172,10 @@ def main() -> None:
         "fuzzy_dedup",
         # per-iteration centroid collects run eagerly inside fn()
         "kmeans_assign",
+        # fn() writes the merged table eagerly before returning the
+        # re-read aggregate; the timed region must redo the merge+write.
+        "merge_upsert",
+        "merge_scd2",
     }
 
     timings: dict[str, float] = {}

@@ -454,6 +454,57 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_history(orders: DataFrame) -> DataFrame:
+    """The SCD-2 merge frame before the sink: base + update batch
+    unioned, superseded base rows closed out via ONE window over the
+    merge key.  Extracted so tests/test_plans.py can pin the plan
+    invariant — zero join operators, the close-out is window-only —
+    the same way join_asof's single-Exchange shape is pinned."""
+    from pyspark.sql import Window
+
+    eff = F.lit("1998-12-01").cast("date")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit("b").alias("_src"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
+                "o_totalprice"
+            ),
+            eff.alias("valid_from"),
+            F.lit("u").alias("_src"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                eff.alias("valid_from"),
+                F.lit("u").alias("_src"),
+            )
+        )
+    )
+    has_upd = F.max((F.col("_src") == "u").cast("int")).over(
+        Window.partitionBy("o_orderkey")
+    )
+    superseded = (F.col("_src") == "b") & (has_upd == 1)
+    return base.unionByName(updates).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        F.when(superseded, eff).alias("valid_to"),
+        (~superseded).alias("is_current"),
+    )
+
+
 @query(
     "sink_merge_scd2",
     oracle="""
@@ -520,56 +571,7 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs ×1.1 land on exact .xx5 halves where engine ROUND halfway
     behavior differs; floor(x*100+0.5) is identical IEEE on both).
     """
-    from pyspark.sql import Window
-
-    t = load_tables(spark, sf_dir)
-    eff = F.lit("1998-12-01").cast("date")
-    base = t["orders"].select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.lit("1990-01-01").cast("date").alias("valid_from"),
-        F.lit("b").alias("_src"),
-    )
-    updates = (
-        t["orders"]
-        .filter(F.col("o_orderkey") % 97 == 0)
-        .select(
-            "o_orderkey",
-            F.lit("U").alias("o_orderstatus"),
-            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
-                "o_totalprice"
-            ),
-            eff.alias("valid_from"),
-            F.lit("u").alias("_src"),
-        )
-        .unionByName(
-            t["orders"]
-            .filter(F.col("o_orderkey") % 101 == 0)
-            .select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
-                F.lit("N").alias("o_orderstatus"),
-                F.lit(42.0).alias("o_totalprice"),
-                eff.alias("valid_from"),
-                F.lit("u").alias("_src"),
-            )
-        )
-    )
-    has_upd = F.max((F.col("_src") == "u").cast("int")).over(
-        Window.partitionBy("o_orderkey")
-    )
-    superseded = (F.col("_src") == "b") & (has_upd == 1)
-    hist = (
-        base.unionByName(updates)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            "valid_from",
-            F.when(superseded, eff).alias("valid_to"),
-            (~superseded).alias("is_current"),
-        )
-    )
+    hist = scd2_history(load_tables(spark, sf_dir)["orders"])
     path = _scratch("sink_merge_scd2")
     hist.write.mode("overwrite").parquet(path)
     return (

@@ -476,6 +476,27 @@ def test_asof_join_single_exchange_zero_joins(spark):
     assert not joins, joins
 
 
+def test_scd2_history_window_only_zero_joins(spark):
+    """Round-13: the SCD-2 merge frame's scale invariant — the
+    close-out is ONE window over the merge key with ZERO join
+    operators (an outer-join formulation would shuffle both sides and
+    reintroduce exactly what the union+window design avoids).  Pinned
+    on the pre-sink frame via the extracted scd2_history helper, the
+    same way join_asof's single-Exchange shape is pinned."""
+    from pyspark_analytics_library_spark.sources.io import load_tables
+    from pyspark_analytics_library_spark.sources.scan_queries import scd2_history
+
+    df = scd2_history(load_tables(spark, TEST_SF_DIR)["orders"])
+    assert _shuffle_count(df) == 1, plan_text(df)
+    text = plan_text(df)
+    joins = [
+        ln for ln in text.splitlines()
+        if "Join" in ln and "JoinSelection" not in ln
+    ]
+    assert not joins, joins
+    assert "Window" in text, text
+
+
 def _file_scan_metrics(df):
     """Post-execution (numFiles, staticFilesNum) for every
     FileSourceScanExec in the executed plan, walking through AQE

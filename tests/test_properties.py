@@ -1027,3 +1027,30 @@ def test_oracle_results_are_value_diverse(sf_dir):
         f"(collapsed group, or add to the allowlist with a design "
         f"reason): {scalar_offenders}"
     )
+
+
+def test_decode_image_grid_roundtrip_and_corruption():
+    """The IMG1 codec (round 13): encode→decode round-trips dims,
+    digest, and exact pixel sum; corrupt payloads fail LOUDLY
+    (ValueError), never emit wrong stats — a decode stage at 100 TB
+    must surface malformed assets, not NaN them."""
+    import hashlib
+
+    from pyspark_analytics_library_spark.operators.multimodal import (
+        IMG_HEADER_LEN,
+        IMG_MAGIC,
+        decode_image_grid,
+    )
+
+    px = (hashlib.md5(b"seed").hexdigest() * 17)[: 12 * 9].encode("ascii")
+    payload = IMG_MAGIC + (12).to_bytes(2, "big") + (9).to_bytes(2, "big") + px
+    assert len(payload) == IMG_HEADER_LEN + 12 * 9
+    w, h, n_px, md5, s = decode_image_grid(payload)
+    assert (w, h, n_px) == (12, 9, 108)
+    assert md5 == hashlib.md5(px).hexdigest()
+    assert s == sum(px)
+
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_image_grid(b"JPEG" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image_grid(payload[:-1])

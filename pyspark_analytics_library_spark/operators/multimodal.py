@@ -48,6 +48,11 @@ def decode_image_grid(payload: bytes) -> tuple[int, int, int, str, int]:
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr[:4].tobytes() != IMG_MAGIC:
         raise ValueError(f"bad magic: {arr[:4].tobytes()!r}")
+    if arr.size < IMG_HEADER_LEN:
+        # ADVICE r13: valid magic truncated INSIDE the 8-byte header
+        # (4-7 bytes) must be the same loud ValueError as every other
+        # corruption, not an IndexError from the width read below.
+        raise ValueError(f"truncated header: {arr.size} bytes")
     width = int(arr[4]) << 8 | int(arr[5])
     height = int(arr[6]) << 8 | int(arr[7])
     px = arr[IMG_HEADER_LEN : IMG_HEADER_LEN + width * height]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,80 @@ def _scratch(name: str) -> str:
     path = os.path.join(_SCRATCH, name)
     shutil.rmtree(path, ignore_errors=True)
     return path
+
+
+def _merge_target(name: str) -> str:
+    """Target directory for the merge queries — like :func:`_scratch`
+    but it does NOT clear an existing directory: merge targets model a
+    LIVE table that :func:`_staged_overwrite` replaces crash-safely via
+    rename, and an upfront rmtree would reintroduce exactly the
+    unprotected window the staged swap removes (VERDICT r13 #4)."""
+    from pyspark_analytics_library_spark.streaming.stream_queries import (
+        _prune_stale_scratch,
+    )
+
+    _prune_stale_scratch()
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+def _staged_overwrite(df: DataFrame, target: str) -> None:
+    """Crash-safe parquet overwrite (VERDICT r13 #4): write the new
+    table to ``<target>.staging-<uuid>``, then swap it in with
+    filesystem renames, so a failure at ANY point leaves the previous
+    target readable instead of half-written:
+
+    - crash DURING the staging write (the data-sized window, where a
+      mid-job failure actually lands) → target untouched; the orphaned
+      staging dir is reclaimed here on the error path and by the
+      dead-pid janitor otherwise;
+    - crash BETWEEN the two renames (a metadata-sized window) → target
+      briefly absent but the old table is intact under ``.old-<uuid>``
+      — recoverable by hand, never a truncated table read as if whole.
+
+    POSIX ``rename`` within one filesystem is atomic, which covers the
+    local/HDFS deployments this engine targets; on object stores
+    (S3A et al.) "rename" is copy+delete and this discipline does NOT
+    buy atomicity — there a manifest-based committer or a lakehouse
+    table format is required (out of scope per SURVEY §7).
+    """
+    staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    backup = None
+    if os.path.exists(target):
+        backup = f"{target}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(target, backup)
+    os.rename(staging, target)
+    if backup is not None:
+        shutil.rmtree(backup, ignore_errors=True)
+
+
+def _insert_key_offset(orders: DataFrame) -> int:
+    """Synthetic-insert key offset for the merge queries, derived from
+    the ACTUAL key domain (ADVICE r13): the former fixed 100000000
+    offset collides with real o_orderkey above ~SF 17 (TPC-H orderkeys
+    reach ~6M × SF), silently closing out unrelated base rows.  The
+    offset is the next power of 10 above max(o_orderkey) — spelled as
+    10^len(str(max)) so both engines compute it integer-exactly, with
+    no float log/pow rounding — FLOORED at the historical 100000000 so
+    every fixture SF (max key ≪ 1e8) produces bit-identical results to
+    the committed attestations.  The oracle derives the same value with
+    GREATEST/POWER/LENGTH over the same table.  The collect is one
+    1-row scalar aggregate (parquet column statistics make it a
+    metadata-speed scan) — the PageRank-scalar size class."""
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0] or 0
+    return max(100_000_000, 10 ** len(str(mx)))
+
+
+#: DuckDB spelling of :func:`_insert_key_offset` — inlined into both
+#: merge oracles so Spark and the oracle share the derivation formula.
+_INSERT_KEY_OFFSET_SQL = """GREATEST(100000000, CAST(POWER(10,
+        LENGTH(CAST((SELECT MAX(o_orderkey) FROM orders) AS VARCHAR)))
+        AS BIGINT))"""
 
 
 _SINK_FILTER_SQL = """
@@ -358,15 +433,45 @@ def q_scan_csv_options(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd1_merged(base: DataFrame, updates: DataFrame, key: str = "o_orderkey") -> DataFrame:
+    """Priority-union + keeper-window SCD-1 merge core, extracted (like
+    :func:`scd2_history`) so tests can pin both the plan shape and the
+    NULL-key semantics on the pre-sink frame.
+
+    NULL merge keys (VERDICT r13 #7): ``Window.partitionBy`` treats
+    NULL as one ordinary grouping value, so ALL NULL-key rows — base
+    and update alike — land in a single merge group and exactly ONE row
+    survives (an update row when any exists, by the priority order).
+    That is the pinned, documented semantic
+    (tests/test_merge_safety.py); a production merge whose NULL rows
+    must each survive independently has to filter or surrogate NULL
+    keys upstream — the same rule every SQL MERGE engine applies, where
+    NULL never equi-matches and NULL-key sources fall through to the
+    NOT MATCHED branch."""
+    from pyspark.sql import Window
+
+    return (
+        updates.withColumn("_prio", F.lit(0))
+        .unionByName(base.withColumn("_prio", F.lit(1)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(key).orderBy("_prio")),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_prio", "_rn")
+    )
+
+
 @query(
     "sink_merge_upsert",
-    oracle="""
+    oracle=f"""
     WITH updates AS (
         SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice
         FROM orders WHERE o_orderkey % 97 = 0
         UNION ALL
-        SELECT o_orderkey + 100000000, o_custkey, 'N', 42.0
+        SELECT o_orderkey + {_INSERT_KEY_OFFSET_SQL},
+               o_custkey, 'N', 42.0
         FROM orders WHERE o_orderkey % 101 = 0
     ), merged AS (
         SELECT * FROM updates
@@ -390,16 +495,22 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (priority 1), keep row_number()=1 per key ordered by priority —
     ONE shuffle on the merge key, no join at all (the anti-join
     formulation shuffles both sides twice).  The merged table is
-    written and RE-READ, so the oracle comparison covers the
+    written and RE-READ — crash-safely, via :func:`_staged_overwrite`'s
+    staged-write + rename swap — so the oracle comparison covers the
     writer+reader loop.  At 100 TB the same plan works per partition
     (copy-on-write rewrites only partitions containing updated keys —
     pair with sink_partition_overwrite's dynamic mode); row-level
     MERGE without rewrite is exactly what table formats add on top.
+    Insert keys are offset by :func:`_insert_key_offset` (derived from
+    the real key domain, ADVICE r13 — collision-free at any SF);
+    NULL-key semantics are documented and pinned on the extracted
+    :func:`scd1_merged` core.
     """
     t = load_tables(spark, sf_dir)
     base = t["orders"].select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+    offset = _insert_key_offset(base)
     updates = (
         base.filter(F.col("o_orderkey") % 97 == 0)
         .select(
@@ -415,29 +526,16 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             base.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
                 "o_custkey",
                 F.lit("N").alias("o_orderstatus"),
                 F.lit(42.0).alias("o_totalprice"),
             )
         )
     )
-    from pyspark.sql import Window
-
-    merged = (
-        updates.withColumn("_prio", F.lit(0))
-        .unionByName(base.withColumn("_prio", F.lit(1)))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("o_orderkey").orderBy("_prio")
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_prio", "_rn")
-    )
-    path = _scratch("sink_merge")
-    merged.write.mode("overwrite").parquet(path)
+    merged = scd1_merged(base, updates)
+    path = _merge_target("sink_merge")
+    _staged_overwrite(merged, path)
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus")
@@ -459,9 +557,24 @@ def scd2_history(orders: DataFrame) -> DataFrame:
     unioned, superseded base rows closed out via ONE window over the
     merge key.  Extracted so tests/test_plans.py can pin the plan
     invariant — zero join operators, the close-out is window-only —
-    the same way join_asof's single-Exchange shape is pinned."""
+    the same way join_asof's single-Exchange shape is pinned.
+
+    NULL merge keys (VERDICT r13 #7): a NULL-key base row is NEVER
+    superseded here — the update batch is derived through
+    ``o_orderkey % k == 0`` predicates, and ``NULL % k`` is NULL (not
+    0), so NULL keys generate no update row; the base row passes
+    through open (``valid_to`` NULL, ``is_current`` true).  That
+    mirrors SQL MERGE, where NULL never equi-matches ON conditions.
+    The residual hazard sits one level down: the ``has_upd`` window
+    groups NULL as ONE ordinary key, so if a caller-supplied update
+    batch ever carried a NULL key it would close out EVERY NULL base
+    row at once — the same single-group collapse :func:`scd1_merged`
+    documents.  Both behaviors are pinned in
+    tests/test_merge_safety.py; production merges should filter or
+    surrogate NULL keys upstream."""
     from pyspark.sql import Window
 
+    offset = _insert_key_offset(orders)
     eff = F.lit("1998-12-01").cast("date")
     base = orders.select(
         "o_orderkey",
@@ -483,7 +596,7 @@ def scd2_history(orders: DataFrame) -> DataFrame:
         )
         .unionByName(
             orders.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
                 F.lit("N").alias("o_orderstatus"),
                 F.lit(42.0).alias("o_totalprice"),
                 eff.alias("valid_from"),
@@ -507,7 +620,7 @@ def scd2_history(orders: DataFrame) -> DataFrame:
 
 @query(
     "sink_merge_scd2",
-    oracle="""
+    oracle=f"""
     WITH base AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                DATE '1990-01-01' AS valid_from, 'b' AS src
@@ -518,7 +631,7 @@ def scd2_history(orders: DataFrame) -> DataFrame:
                DATE '1998-12-01' AS valid_from, 'u' AS src
         FROM orders WHERE o_orderkey % 97 = 0
         UNION ALL
-        SELECT o_orderkey + 100000000, 'N', 42.0,
+        SELECT o_orderkey + {_INSERT_KEY_OFFSET_SQL}, 'N', 42.0,
                DATE '1998-12-01', 'u'
         FROM orders WHERE o_orderkey % 101 = 0
     ), allr AS (
@@ -569,11 +682,13 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lakehouse formats add on top (none is installed here — SURVEY
     scopes them out).  Same floor-based price rounding as SCD-1 (2-dp
     inputs ×1.1 land on exact .xx5 halves where engine ROUND halfway
-    behavior differs; floor(x*100+0.5) is identical IEEE on both).
+    behavior differs; floor(x*100+0.5) is identical IEEE on both), same
+    :func:`_staged_overwrite` crash-safe sink and
+    :func:`_insert_key_offset` collision-free insert keys as SCD-1.
     """
     hist = scd2_history(load_tables(spark, sf_dir)["orders"])
-    path = _scratch("sink_merge_scd2")
-    hist.write.mode("overwrite").parquet(path)
+    path = _merge_target("sink_merge_scd2")
+    _staged_overwrite(hist, path)
     return (
         spark.read.parquet(path)
         .groupBy("o_orderstatus", "is_current")
@@ -627,8 +742,6 @@ def q_scan_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical either way (JDBCRelation with 4 range-sharded
     partitions).
     """
-    import uuid
-
     path = _scratch(f"derby_jdbc_{uuid.uuid4().hex[:8]}")
     # Keep derby.log inside the scratch dir (no-op after the engine
     # first boots in this JVM; the DB path itself is absolute).

@@ -1054,3 +1054,8 @@ def test_decode_image_grid_roundtrip_and_corruption():
         decode_image_grid(b"JPEG" + payload[4:])
     with pytest.raises(ValueError, match="truncated"):
         decode_image_grid(payload[:-1])
+    # ADVICE r13: valid magic truncated INSIDE the 8-byte header must be
+    # the documented ValueError, not an IndexError from the width read.
+    for cut in range(4, IMG_HEADER_LEN):
+        with pytest.raises(ValueError, match="truncated header"):
+            decode_image_grid(payload[:cut])

@@ -45,6 +45,10 @@ WHITELIST = {
     # sparse path's 1-row triangle-sum collect (lets the census delete
     # its scratch generation before returning — ADVICE r9)
     "operators/graph.py": 3,
+    # _insert_key_offset: one 1-row scalar aggregate (max merge key —
+    # parquet column stats make the scan metadata-speed) shared by both
+    # merge queries, ADVICE r13's collision-free insert-key derivation
+    "sources/scan_queries.py": 1,
 }
 
 #: every DataFrame → driver materialization spelling, not just the two

@@ -22,6 +22,8 @@ tie resolution is identical cross-engine.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -332,19 +334,56 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 6
 
 
+def _bounded_hash_sample(e: DataFrame, sample: int) -> pd.DataFrame:
+    """Deterministic, layout-independent training sample whose
+    driver-side merge is bounded by a hash filter's selectivity, not by
+    partition count (VERDICT r13 #5).
+
+    The former ``orderBy("vec_id").limit(sample)`` planned as
+    TakeOrderedAndProject: each of P scan partitions ships up to
+    ``sample`` rows into the driver-side ordered merge — P×sample rows
+    at extreme partition counts (a 100 TB table at 128 MB splits is
+    ~800k partitions).  Here every row gets a deterministic bucket
+    ``h = pmod(xxhash64(vec_id), 1e6)`` and only rows with
+    ``h < threshold`` — sized to ~1.2×sample expected survivors —
+    reach the ordered merge at all, so the driver-side cost is bounded
+    by the FILTER (~1.2×sample rows TOTAL across all partitions).
+
+    The chosen set — the ``sample`` smallest (h, vec_id) pairs — is a
+    pure function of the ids: rerun-exact, layout-independent, and
+    independent of the escalation path (an under-delivering threshold
+    — hash variance makes this rare at the 1.2× margin — only WIDENS
+    the candidate pool when doubled; the smallest-(h, id) rule never
+    changes, so any threshold that yields ≥sample survivors selects
+    the identical set).  ``n <= sample`` short-circuits to the whole
+    table — every fixture SF lands there, so centroids (and all
+    committed attestations) are unchanged by this rewrite.
+    """
+    e = e.select("vec_id", "embedding")
+    n = e.count()
+    if n <= sample:
+        return e.toPandas()
+    hmod = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
+    thr = max(1, math.ceil(1_000_000 * sample * 1.2 / n))
+    while True:
+        cand = e.withColumn("_h", hmod).filter(F.col("_h") < F.lit(thr))
+        pdf = cand.orderBy("_h", "vec_id").limit(sample).toPandas()
+        if len(pdf) >= sample or thr >= 1_000_000:
+            return pdf.drop(columns="_h")
+        thr = min(1_000_000, thr * 2)
+
+
 def train_ivf_centroids(e: DataFrame, k: int = _IVF_CELLS, iters: int = 10, sample: int = 100_000):
     """Deterministic spherical k-means on a bounded sample → L2-normalized
     centroid matrix.  Centroid training on a driver-side sample is the
     standard IVF build recipe (FAISS does the same): centroids only
     need to capture the density shape, so `sample` rows suffice at any
     input scale, and a fixed seed + fixed iteration count keeps reruns
-    (and the property tests) exact.
+    (and the property tests) exact.  The sample itself comes from
+    :func:`_bounded_hash_sample` — deterministic AND driver-bounded at
+    any partition count.
     """
-    # orderBy before limit: a bare limit() takes whatever partitions
-    # answer first, so the training set (and thus the centroids) would
-    # depend on the physical layout — orderBy pins a layout-independent,
-    # rerun-exact sample.
-    pdf = e.select("vec_id", "embedding").orderBy("vec_id").limit(sample).toPandas()
+    pdf = _bounded_hash_sample(e, sample)
     M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     norms[norms == 0] = 1.0  # zero-norm guard: keep the row, avoid NaN

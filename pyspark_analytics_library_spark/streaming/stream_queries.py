@@ -490,6 +490,28 @@ def _group_matches(got_g: list[tuple], want_g: list[tuple]) -> bool:
     return all(assign(i, set()) for i in range(len(got_g)))
 
 
+def _attest_parity(result: DataFrame, batch: DataFrame, what: str) -> DataFrame:
+    """Run the embedded stream-vs-batch parity check, then surface its
+    verdict as a literal ``parity_ok`` column on the returned frame
+    (VERDICT r13 #6): the driver's rows-only CORRECTNESS row records
+    this frame's shape, so a green row now attests "the full result-set
+    parity check ran and PASSED", not mere non-emptiness.  The column
+    can only ever read true — a parity failure raises inside the query
+    before any frame is returned, so no ``parity_ok=false`` row can
+    reach the driver; the checks themselves stay pinned red-side by
+    tests/test_streaming.py's divergence tests."""
+    _assert_stream_matches_batch(result, batch, what)
+    return result.withColumn("parity_ok", F.lit(True))
+
+
+def _attest_check(result: DataFrame) -> DataFrame:
+    """Same driver-row attestation as :func:`_attest_parity` for the
+    queries whose embedded self-check is not full result-set parity
+    (watermark-drop, event-coverage): call ONLY after the query's
+    self-check has passed."""
+    return result.withColumn("parity_ok", F.lit(True))
+
+
 @query("stream_tumbling", tags=("rows-only", "streaming"))
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event_type counts in 1-hour tumbling windows, 10-min
@@ -510,8 +532,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     name, s = run_to_memory(shape(ev), "complete")
     batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
-    _assert_stream_matches_batch(s.table(name), batch, "stream_tumbling")
-    return s.table(name)
+    return _attest_parity(s.table(name), batch, "stream_tumbling")
 
 
 @query("stream_sliding", tags=("rows-only", "streaming"))
@@ -531,8 +552,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     name, s = run_to_memory(shape(ev), "complete")
     batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
-    _assert_stream_matches_batch(s.table(name), batch, "stream_sliding")
-    return s.table(name)
+    return _attest_parity(s.table(name), batch, "stream_sliding")
 
 
 @query("stream_session", tags=("rows-only", "streaming"))
@@ -554,8 +574,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).withWatermark("ts", "10 minutes")
     name, s = run_to_memory(shape(ev), "complete")
     batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
-    _assert_stream_matches_batch(s.table(name), batch, "stream_session")
-    return s.table(name)
+    return _attest_parity(s.table(name), batch, "stream_session")
 
 
 @query("stream_late_data", tags=("rows-only", "streaming"))
@@ -680,7 +699,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stream_late_data: emitted {out['streamed']} events vs "
             f"{on_time_total} on-time rows — append emission is off"
         )
-    return s.table(name)
+    return _attest_check(s.table(name))
 
 
 @query("stream_dedup", tags=("rows-only", "streaming"))
@@ -697,8 +716,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name, s = run_to_memory(shape(dedup), "complete")
     # deduped double-stream == the original event set, exactly
     batch = shape(load_tables(spark, sf_dir, register_views=False)["events"])
-    _assert_stream_matches_batch(s.table(name), batch, "stream_dedup")
-    return s.table(name)
+    return _attest_parity(s.table(name), batch, "stream_dedup")
 
 
 @query("stream_stateful", tags=("rows-only", "streaming"))
@@ -744,7 +762,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = final.agg(F.sum("n_events")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_stateful")
-    return final
+    return _attest_check(final)
 
 
 @query("stream_sink", tags=("rows-only", "streaming"))
@@ -777,7 +795,7 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = spark.read.parquet(out_dir)
     streamed = sink.agg(F.sum("n")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_sink")
-    return sink
+    return _attest_check(sink)
 
 
 @query("dedup_watermarked", tags=("rows-only", "streaming"))
@@ -815,10 +833,9 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     name, s = run_to_memory(shape(ev.withWatermark("ts", "10 minutes")), "complete")
-    _assert_stream_matches_batch(
+    return _attest_parity(
         s.table(name), shape(batch_events), "stream_static_join"
     )
-    return s.table(name)
 
 
 @query("stream_stream_join", tags=("rows-only", "streaming"))
@@ -862,10 +879,9 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name, s = run_to_memory(joined, "append")
     result = rollup(s.table(name)).orderBy("user_id")
     bc_, bp_ = sides(load_tables(spark, sf_dir, register_views=False)["events"])
-    _assert_stream_matches_batch(
+    return _attest_parity(
         result, rollup(join_and_rollup(bc_, bp_)), "stream_stream_join"
     )
-    return result
 
 
 @query("stream_foreach_batch", tags=("rows-only", "streaming"))
@@ -914,4 +930,4 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = out.agg(F.sum("n_events")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_foreach_batch")
-    return out
+    return _attest_check(out)

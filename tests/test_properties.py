@@ -361,6 +361,36 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_bounded_hash_sample_exact_and_layout_independent(spark):
+    """The IVF trainer's sample rule (VERDICT r13 #5): n<=sample returns
+    the whole table; n>sample returns EXACTLY the `sample` rows with the
+    globally smallest (pmod(xxhash64(vec_id), 1e6), vec_id) — the same
+    set at any partition layout and on rerun."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.similarity import (
+        _bounded_hash_sample,
+    )
+
+    e = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float")).alias("embedding"),
+    )
+    whole = _bounded_hash_sample(e, 2000)
+    assert sorted(whole["vec_id"]) == list(range(1000))
+
+    got = sorted(_bounded_hash_sample(e, 64)["vec_id"])
+    assert len(got) == 64
+    truth = (
+        e.withColumn("_h", F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)))
+        .orderBy("_h", "vec_id")
+        .limit(64)
+    )
+    assert got == sorted(r["vec_id"] for r in truth.collect())
+    relaid = sorted(_bounded_hash_sample(e.repartition(17), 64)["vec_id"])
+    assert relaid == got
+
+
 def test_hll_sketch_close_to_exact(spark):
     from pyspark.sql import functions as F
 

@@ -36,10 +36,12 @@ WHITELIST = {
     # one scalar-aggregate row, both bounded by the statistic list
     "operators/aggregates.py": 2,
     # dim probe (1 row) + IndexTooLargeError-gated index build +
-    # IVF centroid sample (limit(sample)) + distributed k-means'
-    # two bounded collects (k-row init; k×dim centroid update per
-    # iteration — the PageRank-rank-vector size class)
-    "operators/similarity.py": 5,
+    # IVF centroid sample's two toPandas (whole-table short-circuit for
+    # n<=sample, and the hash-filter-bounded limit(sample) — both
+    # sample-capped by construction, VERDICT r13 #5) + distributed
+    # k-means' two bounded collects (k-row init; k×dim centroid update
+    # per iteration — the PageRank-rank-vector size class)
+    "operators/similarity.py": 6,
     # dense triangle census: degree table + edge list, both behind the
     # vertex AND edge caps that dispatch to the sparse path; plus the
     # sparse path's 1-row triangle-sum collect (lets the census delete

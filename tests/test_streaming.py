@@ -16,8 +16,17 @@ from tests.conftest import TEST_SF_DIR
 load_all_query_modules()
 
 
+def _split_parity(stream):
+    """Every rows-only streaming query now carries the attestation
+    column (VERDICT r13 #6); peel it off for the tuple compare and
+    assert it reads all-true."""
+    vals = {r["parity_ok"] for r in stream.select("parity_ok").distinct().collect()}
+    assert vals == {True}, f"parity_ok not uniformly true: {vals}"
+    return stream.drop("parity_ok")
+
+
 def test_stream_tumbling_matches_batch(spark):
-    stream = REGISTRY["stream_tumbling"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_tumbling"].fn(spark, TEST_SF_DIR))
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -28,7 +37,7 @@ def test_stream_tumbling_matches_batch(spark):
 
 
 def test_stream_sliding_matches_batch(spark):
-    stream = REGISTRY["stream_sliding"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_sliding"].fn(spark, TEST_SF_DIR))
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
@@ -39,14 +48,14 @@ def test_stream_sliding_matches_batch(spark):
 
 
 def test_stream_session_total_events_preserved(spark):
-    stream = REGISTRY["stream_session"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_session"].fn(spark, TEST_SF_DIR))
     n_events = load_tables(spark, TEST_SF_DIR)["events"].count()
     assert stream.agg(F.sum("n_events")).collect()[0][0] == n_events
 
 
 def test_stream_late_data_drops_rows(spark):
     """APPEND mode + advanced watermark must drop the late file's rows."""
-    stream = REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR))
     counted = stream.agg(F.sum("n_events")).collect()[0][0] or 0
     total = load_tables(spark, TEST_SF_DIR)["events"].count()
     assert counted < total, f"late rows were not dropped ({counted} vs {total})"
@@ -54,7 +63,7 @@ def test_stream_late_data_drops_rows(spark):
 
 
 def test_stream_dedup_collapses_duplicates(spark):
-    stream = REGISTRY["stream_dedup"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_dedup"].fn(spark, TEST_SF_DIR))
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy("event_type")
@@ -64,7 +73,7 @@ def test_stream_dedup_collapses_duplicates(spark):
 
 
 def test_stream_stateful_matches_batch_totals(spark):
-    stream = REGISTRY["stream_stateful"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_stateful"].fn(spark, TEST_SF_DIR))
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy("user_id")
@@ -83,13 +92,13 @@ def test_stream_stateful_matches_batch_totals(spark):
 
 
 def test_stream_sink_covers_all_events(spark):
-    stream = REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR))
     total = stream.agg(F.sum("n")).collect()[0][0]
     assert total == load_tables(spark, TEST_SF_DIR)["events"].count()
 
 
 def test_stream_static_join_matches_batch(spark):
-    stream = REGISTRY["stream_static_join"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_static_join"].fn(spark, TEST_SF_DIR))
     ev = load_tables(spark, TEST_SF_DIR)["events"]
     static = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("lifetime_events"))
     batch = (
@@ -104,7 +113,7 @@ def test_stream_static_join_matches_batch(spark):
 
 
 def test_stream_stream_join_matches_batch(spark):
-    stream = REGISTRY["stream_stream_join"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_stream_join"].fn(spark, TEST_SF_DIR))
     ev = load_tables(spark, TEST_SF_DIR)["events"]
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
@@ -129,7 +138,7 @@ def test_stream_foreach_batch_matches_batch_totals(spark):
     """foreachBatch appends per-micro-batch aggregates; re-aggregating
     them must reproduce the plain batch totals regardless of how many
     micro-batches the source emitted."""
-    stream = REGISTRY["stream_foreach_batch"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_foreach_batch"].fn(spark, TEST_SF_DIR))
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy("event_type")
@@ -242,7 +251,7 @@ def test_stream_late_data_output_has_no_precutoff_window(spark):
     collected timestamps render in the driver OS timezone, not the
     session timezone, so a Python-side `< datetime(...)` would break
     (or silently weaken) on any non-UTC machine."""
-    stream = REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR)
+    stream = _split_parity(REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR))
     cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
     pre, total = stream.agg(
         F.count_if(F.col("window_start") < cutoff), F.count(F.lit(1))

@@ -19,8 +19,48 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from pyspark_analytics_library_spark.registry import REGISTRY, load_all_query_modules
 from pyspark_analytics_library_spark.session import get_spark
+
+
+def bench_triangles_sparse(spark, sf_dir):
+    """Sparse-branch regression row (VERDICT r13 #3): the headline
+    graph_triangles row always dispatches the DENSE driver-matmul
+    branch (sf0.1's 1,500-vertex events graph sits under the
+    4096-vertex cap), so the distributed sparse path — oriented-edge
+    scratch, out-neighborhood build, adjacency-intersection join — had
+    per-round NO tripwire; a regression there would only surface in a
+    manual probe.  This row builds a genuinely >4096-vertex co-activity
+    graph (customers sharing an (o_orderdate, o_orderpriority) order
+    slot: ~15k vertices / ~0.93M edges / 4.17M triangles at sf0.1) and
+    pins the dispatch by zeroing the vertex cap for the duration, so
+    the row measures the sparse code path at every SF."""
+    from pyspark_analytics_library_spark.operators.graph import (
+        co_occurrence_edges,
+        triangle_census,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    edges = co_occurrence_edges(
+        orders, "o_custkey", [F.col("o_orderdate"), F.col("o_orderpriority")]
+    )
+    cap_key = "spark.analytics.graph.denseMatmulMaxVertices"
+    old = spark.conf.get(cap_key, None)
+    spark.conf.set(cap_key, "0")
+    try:
+        return triangle_census(spark, edges)
+    finally:
+        spark.conf.unset(cap_key) if old is None else spark.conf.set(cap_key, old)
+
+
+#: bench rows that are not registry queries: constructed inputs that
+#: force a code path the declared surface never reaches at bench SF.
+CUSTOM = {
+    "triangles_sparse": bench_triangles_sparse,
+}
 
 #: bench name (BASELINE.md row) → registry query
 HEADLINE = {
@@ -106,11 +146,11 @@ REFERENCE = {
     "dedup_components": 5.58,  # r9 idle band max (4.44–5.58)
     "contamination_check": 0.033,
     "pack_sequences": 0.026,
-    "similarity_ivf": 0.054,
+    "similarity_ivf": 0.123,  # r14 idle band max (0.059-0.123; see BASELINE.md r14)
     "ngram_jaccard": 0.091,
     "similarity_lsh": 0.141,
     "graph_triangles": 2.50,  # r9 idle band max (2.22–2.50)
-    "graph_pagerank": 0.094,
+    "graph_pagerank": 0.114,  # r14 idle band max (0.067-0.114; see BASELINE.md r14)
     "resample_interp": 0.135,
     "describe_summary": 1.29,  # reference row; r9 band max is lower (1.24)
     "join_asof": 0.78,
@@ -120,6 +160,7 @@ REFERENCE = {
     "incremental_dedup": 0.039,
     "merge_upsert": 1.69,  # r13 idle band max (1.08-1.69; write jitter)
     "merge_scd2": 1.10,  # r13 idle band max (0.98-1.10)
+    "triangles_sparse": 4.71,  # r14 idle band max (see BASELINE.md r14)
 }
 BAR_FACTOR = 2.0
 
@@ -143,6 +184,7 @@ EXTENDED = {
     "incremental_dedup",
     "merge_upsert",
     "merge_scd2",
+    "triangles_sparse",
 }
 
 
@@ -196,6 +238,17 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[bench_name] = round(best, 4)
 
+    # Custom rows: constructed-input code paths (all eager inside the
+    # call, so the timed region rebuilds like the iterative set).
+    for bench_name, fn in CUSTOM.items():
+        rows[bench_name] = len(fn(spark, sf_dir).collect())  # warm-up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[bench_name] = round(best, 4)
+
     # Headline value = the ORIGINAL 8 queries (comparable across rounds
     # and against BASELINE.md's 0.889 s suite total); the round-3
     # additions are reported per-query and as extended_total_sec
@@ -208,7 +261,7 @@ def main() -> None:
     at_ref_sf = sf == 0.1
     over_bar = {
         n: (timings[n] > BAR_FACTOR * REFERENCE[n]) if at_ref_sf else None
-        for n in HEADLINE
+        for n in list(HEADLINE) + list(CUSTOM)
         if n in REFERENCE
     }
     print(

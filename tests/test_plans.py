@@ -497,6 +497,34 @@ def test_scd2_history_window_only_zero_joins(spark):
     assert "Window" in text, text
 
 
+def test_scd1_merged_window_only_zero_joins(spark):
+    """Round-14: the SCD-1 twin of the scd2 pin, on the extracted
+    scd1_merged core — priority-union + keeper-window is ONE shuffle on
+    the merge key with ZERO join operators (the anti-join MERGE
+    spelling shuffles both sides twice).  Added with the extraction so
+    the refactor can never silently regrow a join."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.sources.io import load_tables
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    base = load_tables(spark, TEST_SF_DIR)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = base.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("U")
+    )
+    df = scd1_merged(base, updates)
+    assert _shuffle_count(df) == 1, plan_text(df)
+    text = plan_text(df)
+    joins = [
+        ln for ln in text.splitlines()
+        if "Join" in ln and "JoinSelection" not in ln
+    ]
+    assert not joins, joins
+    assert "Window" in text, text
+
+
 def _file_scan_metrics(df):
     """Post-execution (numFiles, staticFilesNum) for every
     FileSourceScanExec in the executed plan, walking through AQE

@@ -261,6 +261,18 @@ def ordered_registry() -> dict[str, QuerySpec]:
     so a failed query re-enters the prefix immediately instead of
     aging out.  ``tests/test_driver_contract.py`` pins the prefix
     property (frontload + starvation + pin-expiry tests).
+
+    HEADROOM MATH (round-14 budget lesson): the floor advances in a
+    round only when pins + never-attested newcomers + the stalest tier
+    all fit the K=50 prefix.  In the steady K·R rotation each tier
+    holds ~total/R members, so the hard ceiling for an R-round floor
+    cadence is total ≤ K·R: at 198 queries the 4-round rotation leaves
+    exactly 200−198 = 2 PERMANENT new-query slots; a round whose
+    stalest tier is full-sized (49–50, as after any steady round) can
+    afford ZERO new queries and ZERO pins without stalling the floor.
+    Spend slack deliberately: add queries (or pin changed ones) only
+    in a round whose stalest tier is measured small, via
+    ``_driver_attestation_rounds()``.
     """
     green = _driver_green_rows()
     attested = {name: max(r for r, _ in rows) for name, rows in green.items()}

@@ -79,6 +79,28 @@ def test_staged_overwrite_simulated_stale_staging_is_ignored(spark, tmp_path):
     assert os.path.isdir(orphan), "unrelated orphan must be left to the janitor"
 
 
+def test_merge_target_never_clears_existing_content():
+    """_merge_target is the crash-safety PRECONDITION: unlike _scratch
+    it must NOT rmtree an existing target — a revert to _scratch would
+    clear the live table before the staged write even starts,
+    silently reopening exactly the window _staged_overwrite closes."""
+    from pyspark_analytics_library_spark.sources.scan_queries import _merge_target
+
+    path = _merge_target("pin_merge_target")
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, "live-file")
+    with open(marker, "w") as f:
+        f.write("x")
+    try:
+        again = _merge_target("pin_merge_target")
+        assert again == path
+        assert os.path.exists(marker), "_merge_target cleared the live target"
+    finally:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def test_scd1_null_keys_collapse_to_single_survivor(spark):
     """Window.partitionBy groups NULL as ONE key: all NULL-key rows form
     a single merge group and exactly one row survives — the update row,

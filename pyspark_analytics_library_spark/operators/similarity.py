@@ -355,21 +355,44 @@ def _bounded_hash_sample(e: DataFrame, sample: int) -> pd.DataFrame:
     — hash variance makes this rare at the 1.2× margin — only WIDENS
     the candidate pool when doubled; the smallest-(h, id) rule never
     changes, so any threshold that yields ≥sample survivors selects
-    the identical set).  ``n <= sample`` short-circuits to the whole
-    table — every fixture SF lands there, so centroids (and all
-    committed attestations) are unchanged by this rewrite.
+    the identical set).
+
+    ROW ORDER is part of the contract (ADVICE r14): the returned frame
+    is sorted by ``vec_id`` on BOTH paths, because the consumer
+    (:func:`train_ivf_centroids`) is row-order sensitive — ``rng.choice``
+    picks rows by position and float mean accumulation order varies —
+    so an unpinned order would make trained centroids depend on the
+    physical partition layout.  The sort happens DRIVER-side on the
+    already-bounded frame (≤ ``sample`` rows), so it costs nothing
+    distributed.
+
+    Small-table path (every fixture SF lands here): a single
+    ``limit(sample + 1).toPandas()`` probe — CollectLimit, incremental
+    and driver-bounded at ``sample + 1`` rows at ANY partition count.
+    ≤ ``sample`` rows back means the probe IS the whole table; sorting
+    it by vec_id yields exactly what the former count()-then-toPandas()
+    spelling produced, minus one full job (ADVICE r14: the count and
+    the pull scanned the same data twice).  ``sample + 1`` rows back
+    means n > sample, and only then is the count() (a column-less
+    metadata-speed scan) paid to size the hash threshold — the loop
+    path's per-pass scans are kept in preference to persisting the
+    input, which at 100 TB would spill the whole table to executor
+    disk to save one cheap pass.
     """
     e = e.select("vec_id", "embedding")
+    pdf = e.limit(sample + 1).toPandas()
+    if len(pdf) <= sample:
+        return pdf.sort_values("vec_id", ignore_index=True)
     n = e.count()
-    if n <= sample:
-        return e.toPandas()
     hmod = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
     thr = max(1, math.ceil(1_000_000 * sample * 1.2 / n))
     while True:
         cand = e.withColumn("_h", hmod).filter(F.col("_h") < F.lit(thr))
         pdf = cand.orderBy("_h", "vec_id").limit(sample).toPandas()
         if len(pdf) >= sample or thr >= 1_000_000:
-            return pdf.drop(columns="_h")
+            return (
+                pdf.drop(columns="_h").sort_values("vec_id", ignore_index=True)
+            )
         thr = min(1_000_000, thr * 2)
 
 

@@ -365,7 +365,10 @@ def test_bounded_hash_sample_exact_and_layout_independent(spark):
     """The IVF trainer's sample rule (VERDICT r13 #5): n<=sample returns
     the whole table; n>sample returns EXACTLY the `sample` rows with the
     globally smallest (pmod(xxhash64(vec_id), 1e6), vec_id) — the same
-    set at any partition layout and on rerun."""
+    set at any partition layout and on rerun.  ROW ORDER is part of the
+    contract (ADVICE r14): both paths return vec_id-sorted frames, so
+    the order-sensitive trainer downstream cannot pick up the physical
+    partition layout through the sample."""
     from pyspark.sql import functions as F
 
     from pyspark_analytics_library_spark.operators.similarity import (
@@ -377,9 +380,11 @@ def test_bounded_hash_sample_exact_and_layout_independent(spark):
         F.array(F.col("id").cast("float")).alias("embedding"),
     )
     whole = _bounded_hash_sample(e, 2000)
-    assert sorted(whole["vec_id"]) == list(range(1000))
+    assert list(whole["vec_id"]) == list(range(1000))  # sorted, not just same set
 
-    got = sorted(_bounded_hash_sample(e, 64)["vec_id"])
+    got_pdf = _bounded_hash_sample(e, 64)
+    got = list(got_pdf["vec_id"])
+    assert got == sorted(got), "loop path must return vec_id-sorted rows"
     assert len(got) == 64
     truth = (
         e.withColumn("_h", F.pmod(F.xxhash64("vec_id"), F.lit(1_000_000)))
@@ -387,8 +392,39 @@ def test_bounded_hash_sample_exact_and_layout_independent(spark):
         .limit(64)
     )
     assert got == sorted(r["vec_id"] for r in truth.collect())
-    relaid = sorted(_bounded_hash_sample(e.repartition(17), 64)["vec_id"])
+    relaid = list(_bounded_hash_sample(e.repartition(17), 64)["vec_id"])
     assert relaid == got
+
+
+def test_ivf_centroids_layout_independent(spark):
+    """Trained centroids — not merely the sampled id SET — must be
+    identical across physical layouts (ADVICE r14: rng.choice picks rows
+    by POSITION and float mean accumulation order varies, so an unpinned
+    sample row order leaks the partition layout into the centroids; the
+    old sorted-id-set comparison masked exactly that).  Covers both the
+    n<=sample short-circuit and the hash-threshold loop path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    e = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("id") * F.lit(float(d + 1))).cast("float")
+                for d in range(8)
+            ]
+        ).alias("embedding"),
+    )
+    for sample in (1000, 64):  # short-circuit path, then loop path
+        base = train_ivf_centroids(e, k=4, iters=3, sample=sample)
+        relaid = train_ivf_centroids(e.repartition(13), k=4, iters=3, sample=sample)
+        rerun = train_ivf_centroids(e, k=4, iters=3, sample=sample)
+        assert np.array_equal(base, relaid), f"layout-dependent (sample={sample})"
+        assert np.array_equal(base, rerun), f"rerun-inexact (sample={sample})"
 
 
 def test_hll_sketch_close_to_exact(spark):

@@ -36,12 +36,14 @@ WHITELIST = {
     # one scalar-aggregate row, both bounded by the statistic list
     "operators/aggregates.py": 2,
     # dim probe (1 row) + IndexTooLargeError-gated index build +
-    # IVF centroid sample's two toPandas (whole-table short-circuit for
-    # n<=sample, and the hash-filter-bounded limit(sample) — both
-    # sample-capped by construction, VERDICT r13 #5) + distributed
-    # k-means' two bounded collects (k-row init; k×dim centroid update
-    # per iteration — the PageRank-rank-vector size class)
-    "operators/similarity.py": 6,
+    # IVF centroid sample's three driver pulls (the limit(sample+1)
+    # small-table probe — CollectLimit, driver-bounded at sample+1 rows
+    # at any partition count, ADVICE r14; the loop path's n count; the
+    # hash-filter-bounded limit(sample) pull — all sample-capped by
+    # construction, VERDICT r13 #5) + distributed k-means' two bounded
+    # collects (k-row init; k×dim centroid update per iteration — the
+    # PageRank-rank-vector size class)
+    "operators/similarity.py": 7,
     # dense triangle census: degree table + edge list, both behind the
     # vertex AND edge caps that dispatch to the sparse path; plus the
     # sparse path's 1-row triangle-sum collect (lets the census delete

@@ -492,24 +492,31 @@ def _group_matches(got_g: list[tuple], want_g: list[tuple]) -> bool:
 
 def _attest_parity(result: DataFrame, batch: DataFrame, what: str) -> DataFrame:
     """Run the embedded stream-vs-batch parity check, then surface its
-    verdict as a literal ``parity_ok`` column on the returned frame
+    verdict as a literal ``selfcheck`` column on the returned frame
     (VERDICT r13 #6): the driver's rows-only CORRECTNESS row records
     this frame's shape, so a green row now attests "the full result-set
     parity check ran and PASSED", not mere non-emptiness.  The column
-    can only ever read true — a parity failure raises inside the query
-    before any frame is returned, so no ``parity_ok=false`` row can
-    reach the driver; the checks themselves stay pinned red-side by
+    VALUE names the check KIND (ADVICE r14: the former uniform
+    ``parity_ok=true`` boolean read as full parity even on queries
+    whose embedded check is only watermark-drop or event-count
+    coverage) — ``full-parity`` here; the weaker kinds come from
+    :func:`_attest_check`.  The column can only ever carry a passing
+    kind — a check failure raises inside the query before any frame is
+    returned — and the checks themselves stay pinned red-side by
     tests/test_streaming.py's divergence tests."""
     _assert_stream_matches_batch(result, batch, what)
-    return result.withColumn("parity_ok", F.lit(True))
+    return result.withColumn("selfcheck", F.lit("full-parity"))
 
 
-def _attest_check(result: DataFrame) -> DataFrame:
+def _attest_check(result: DataFrame, kind: str) -> DataFrame:
     """Same driver-row attestation as :func:`_attest_parity` for the
-    queries whose embedded self-check is not full result-set parity
-    (watermark-drop, event-coverage): call ONLY after the query's
-    self-check has passed."""
-    return result.withColumn("parity_ok", F.lit(True))
+    queries whose embedded self-check is weaker than full result-set
+    parity; ``kind`` names what actually ran — ``watermark-drop`` (the
+    late-data drop assertions) or ``event-count`` (stream saw exactly
+    the batch row set) — so a green driver row never overclaims.  Call
+    ONLY after the query's self-check has passed."""
+    assert kind in ("watermark-drop", "event-count"), kind
+    return result.withColumn("selfcheck", F.lit(kind))
 
 
 @query("stream_tumbling", tags=("rows-only", "streaming"))
@@ -699,7 +706,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stream_late_data: emitted {out['streamed']} events vs "
             f"{on_time_total} on-time rows — append emission is off"
         )
-    return _attest_check(s.table(name))
+    return _attest_check(s.table(name), "watermark-drop")
 
 
 @query("stream_dedup", tags=("rows-only", "streaming"))
@@ -762,7 +769,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = final.agg(F.sum("n_events")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_stateful")
-    return _attest_check(final)
+    return _attest_check(final, "event-count")
 
 
 @query("stream_sink", tags=("rows-only", "streaming"))
@@ -795,7 +802,7 @@ def q_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = spark.read.parquet(out_dir)
     streamed = sink.agg(F.sum("n")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_sink")
-    return _attest_check(sink)
+    return _attest_check(sink, "event-count")
 
 
 @query("dedup_watermarked", tags=("rows-only", "streaming"))
@@ -930,4 +937,4 @@ def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     streamed = out.agg(F.sum("n_events")).collect()[0][0] or 0
     _assert_stream_covers_events(spark, sf_dir, streamed, "stream_foreach_batch")
-    return _attest_check(out)
+    return _attest_check(out, "event-count")

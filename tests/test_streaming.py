@@ -16,13 +16,15 @@ from tests.conftest import TEST_SF_DIR
 load_all_query_modules()
 
 
-def _split_parity(stream):
-    """Every rows-only streaming query now carries the attestation
-    column (VERDICT r13 #6); peel it off for the tuple compare and
-    assert it reads all-true."""
-    vals = {r["parity_ok"] for r in stream.select("parity_ok").distinct().collect()}
-    assert vals == {True}, f"parity_ok not uniformly true: {vals}"
-    return stream.drop("parity_ok")
+def _split_parity(stream, expect="full-parity"):
+    """Every rows-only streaming query carries the attestation column
+    (VERDICT r13 #6); since ADVICE r14 its VALUE names the check kind,
+    so a green row can't overclaim full parity when only a weaker
+    watermark-drop/event-count check ran.  Peel it off for the tuple
+    compare and assert the expected kind was stamped uniformly."""
+    vals = {r["selfcheck"] for r in stream.select("selfcheck").distinct().collect()}
+    assert vals == {expect}, f"selfcheck not uniformly {expect!r}: {vals}"
+    return stream.drop("selfcheck")
 
 
 def test_stream_tumbling_matches_batch(spark):
@@ -55,7 +57,9 @@ def test_stream_session_total_events_preserved(spark):
 
 def test_stream_late_data_drops_rows(spark):
     """APPEND mode + advanced watermark must drop the late file's rows."""
-    stream = _split_parity(REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR))
+    stream = _split_parity(
+        REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR), expect="watermark-drop"
+    )
     counted = stream.agg(F.sum("n_events")).collect()[0][0] or 0
     total = load_tables(spark, TEST_SF_DIR)["events"].count()
     assert counted < total, f"late rows were not dropped ({counted} vs {total})"
@@ -73,7 +77,9 @@ def test_stream_dedup_collapses_duplicates(spark):
 
 
 def test_stream_stateful_matches_batch_totals(spark):
-    stream = _split_parity(REGISTRY["stream_stateful"].fn(spark, TEST_SF_DIR))
+    stream = _split_parity(
+        REGISTRY["stream_stateful"].fn(spark, TEST_SF_DIR), expect="event-count"
+    )
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy("user_id")
@@ -92,7 +98,9 @@ def test_stream_stateful_matches_batch_totals(spark):
 
 
 def test_stream_sink_covers_all_events(spark):
-    stream = _split_parity(REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR))
+    stream = _split_parity(
+        REGISTRY["stream_sink"].fn(spark, TEST_SF_DIR), expect="event-count"
+    )
     total = stream.agg(F.sum("n")).collect()[0][0]
     assert total == load_tables(spark, TEST_SF_DIR)["events"].count()
 
@@ -138,7 +146,9 @@ def test_stream_foreach_batch_matches_batch_totals(spark):
     """foreachBatch appends per-micro-batch aggregates; re-aggregating
     them must reproduce the plain batch totals regardless of how many
     micro-batches the source emitted."""
-    stream = _split_parity(REGISTRY["stream_foreach_batch"].fn(spark, TEST_SF_DIR))
+    stream = _split_parity(
+        REGISTRY["stream_foreach_batch"].fn(spark, TEST_SF_DIR), expect="event-count"
+    )
     batch = (
         load_tables(spark, TEST_SF_DIR)["events"]
         .groupBy("event_type")
@@ -251,7 +261,9 @@ def test_stream_late_data_output_has_no_precutoff_window(spark):
     collected timestamps render in the driver OS timezone, not the
     session timezone, so a Python-side `< datetime(...)` would break
     (or silently weaken) on any non-UTC machine."""
-    stream = _split_parity(REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR))
+    stream = _split_parity(
+        REGISTRY["stream_late_data"].fn(spark, TEST_SF_DIR), expect="watermark-drop"
+    )
     cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
     pre, total = stream.agg(
         F.count_if(F.col("window_start") < cutoff), F.count(F.lit(1))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyspark_analytics_library_spark.registry import query
+from pyspark_analytics_library_spark.sources import commit as commit_mod
 from pyspark_analytics_library_spark.sources import io as io_mod
 from pyspark_analytics_library_spark.sources.io import load_tables
 
@@ -68,11 +69,15 @@ def _merge_target(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
-def _staged_overwrite(df: DataFrame, target: str) -> None:
-    """Crash-safe parquet overwrite (VERDICT r13 #4): write the new
-    table to ``<target>.staging-<uuid>``, then swap it in with
-    filesystem renames, so a failure at ANY point leaves the previous
-    target readable instead of half-written:
+def _staged_overwrite(df: DataFrame, target: str) -> str:
+    """Crash-safe parquet overwrite (VERDICT r13 #4); returns the path
+    readers should scan.  Two protocols, selected by the conf
+    ``spark.analytics.sink.commitMode``:
+
+    ``rename`` (default): write the new table to
+    ``<target>.staging-<uuid>``, then swap it in with filesystem
+    renames, so a failure at ANY point leaves the previous target
+    readable instead of half-written:
 
     - crash DURING the staging write (the data-sized window, where a
       mid-job failure actually lands) → target untouched; the orphaned
@@ -80,14 +85,32 @@ def _staged_overwrite(df: DataFrame, target: str) -> None:
       dead-pid janitor otherwise;
     - crash BETWEEN the two renames (a metadata-sized window) → target
       briefly absent but the old table is intact under ``.old-<uuid>``
-      — recoverable by hand, never a truncated table read as if whole.
+      — recoverable by hand UNTIL dead-pid reclamation (ADVICE r14:
+      for the merge queries here the backup lives inside the
+      pid-scoped scratch dir, which the janitor rmtrees
+      ``_SCRATCH_DEAD_GRACE_S`` after the owning process dies, so the
+      recovery window is time-limited by design; a production target
+      outside scratch keeps its backup until an operator removes it).
 
-    POSIX ``rename`` within one filesystem is atomic, which covers the
-    local/HDFS deployments this engine targets; on object stores
-    (S3A et al.) "rename" is copy+delete and this discipline does NOT
-    buy atomicity — there a manifest-based committer or a lakehouse
-    table format is required (out of scope per SURVEY §7).
+    POSIX ``rename`` within one filesystem is atomic, which covers
+    local/HDFS deployments; on object stores (S3A et al.) "rename" is
+    copy+delete and this protocol does NOT buy atomicity there.
+
+    ``manifest``: the object-store-safe protocol —
+    :func:`~pyspark_analytics_library_spark.sources.commit.manifest_commit`
+    writes a new GENERATION dir under the target and commits by
+    atomically swapping one small ``_CURRENT`` pointer file (a
+    single-object PUT on a store, ``os.replace`` locally); readers
+    resolve through :func:`...commit.resolve_table` and never observe
+    a partial table, with no reliance on directory rename at all
+    (VERDICT r14 #4; tests/test_merge_safety.py simulates the
+    crash-between windows and forbids data-dir renames outright).
     """
+    mode = df.sparkSession.conf.get(commit_mod.MODE_CONF, "rename")
+    if mode == "manifest":
+        return commit_mod.manifest_commit(df, target)
+    if mode != "rename":
+        raise ValueError(f"unknown {commit_mod.MODE_CONF}: {mode!r}")
     staging = f"{target}.staging-{uuid.uuid4().hex[:8]}"
     try:
         df.write.mode("overwrite").parquet(staging)
@@ -101,6 +124,7 @@ def _staged_overwrite(df: DataFrame, target: str) -> None:
     os.rename(staging, target)
     if backup is not None:
         shutil.rmtree(backup, ignore_errors=True)
+    return target
 
 
 def _insert_key_offset(orders: DataFrame) -> int:
@@ -535,9 +559,9 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = scd1_merged(base, updates)
     path = _merge_target("sink_merge")
-    _staged_overwrite(merged, path)
+    read_path = _staged_overwrite(merged, path)
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(read_path)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -688,9 +712,9 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     hist = scd2_history(load_tables(spark, sf_dir)["orders"])
     path = _merge_target("sink_merge_scd2")
-    _staged_overwrite(hist, path)
+    read_path = _staged_overwrite(hist, path)
     return (
-        spark.read.parquet(path)
+        spark.read.parquet(read_path)
         .groupBy("o_orderstatus", "is_current")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -134,6 +134,140 @@ def test_scd2_null_key_base_rows_stay_open(spark):
     assert {r["is_current"] for r in k97} == {True, False}, "sanity: 97 was merged"
 
 
+# ---------------------------------------------------------------------------
+# Manifest-pointer commit mode (VERDICT r14 #4): the object-store-safe
+# protocol — commit = one atomic small-file pointer swap, never a
+# directory rename.  These tests simulate the crash windows and forbid
+# directory renames outright.
+# ---------------------------------------------------------------------------
+
+from pyspark_analytics_library_spark.sources import commit as commit_mod
+
+
+@pytest.fixture
+def manifest_mode(spark):
+    prev = spark.conf.get(commit_mod.MODE_CONF, None)
+    spark.conf.set(commit_mod.MODE_CONF, "manifest")
+    yield
+    if prev is None:
+        spark.conf.unset(commit_mod.MODE_CONF)
+    else:
+        spark.conf.set(commit_mod.MODE_CONF, prev)
+
+
+def _read_current(spark, target):
+    return sorted(
+        r["k"]
+        for r in spark.read.parquet(commit_mod.resolve_table(target)).collect()
+    )
+
+
+def test_manifest_commit_swaps_generations_and_prunes(
+    spark, tmp_path, manifest_mode
+):
+    target = str(tmp_path / "mtable")
+    p1 = _staged_overwrite(spark.range(3).select(F.col("id").alias("k")), target)
+    assert p1.startswith(os.path.join(target, "gen-"))
+    assert _read_current(spark, target) == [0, 1, 2]
+    _staged_overwrite(spark.range(10, 12).select(F.col("id").alias("k")), target)
+    assert _read_current(spark, target) == [10, 11]
+    _staged_overwrite(spark.range(20, 23).select(F.col("id").alias("k")), target)
+    assert _read_current(spark, target) == [20, 21, 22]
+    gens = [n for n in os.listdir(target) if n.startswith("gen-")]
+    assert len(gens) == commit_mod.KEEP_GENERATIONS, gens
+
+
+def test_manifest_crash_before_pointer_swap_keeps_old_generation_live(
+    spark, tmp_path, manifest_mode, monkeypatch
+):
+    """The metadata-sized crash window: generation fully written, crash
+    before the pointer swap → every reader stays on the old generation;
+    the rename protocol's 'target briefly absent' window must not exist
+    at all here."""
+    target = str(tmp_path / "mtable")
+    _staged_overwrite(spark.range(5).select(F.col("id").alias("k")), target)
+    before = _read_current(spark, target)
+
+    def crash(*a, **kw):
+        raise OSError("simulated crash between data write and commit")
+
+    monkeypatch.setattr(commit_mod, "_swap_pointer", crash)
+    with pytest.raises(OSError, match="simulated crash"):
+        _staged_overwrite(
+            spark.range(100, 104).select(F.col("id").alias("k")), target
+        )
+    assert _read_current(spark, target) == before
+    monkeypatch.undo()
+    _staged_overwrite(spark.range(7, 9).select(F.col("id").alias("k")), target)
+    assert _read_current(spark, target) == [7, 8]
+
+
+def test_manifest_commit_performs_no_directory_rename(
+    spark, tmp_path, manifest_mode, monkeypatch
+):
+    """Simulated object store: directory rename is NOT available
+    (os.rename raises), and the only atomic primitive is the
+    single-small-file replace — the commit must still succeed, and its
+    one os.replace must target the pointer file."""
+    target = str(tmp_path / "mtable")
+    replaced = []
+
+    def no_rename(*a, **kw):
+        raise AssertionError("manifest commit must not rename directories")
+
+    real_replace = os.replace
+
+    def tracking_replace(src, dst, **kw):
+        replaced.append(dst)
+        assert not os.path.isdir(src), "os.replace used on a directory"
+        return real_replace(src, dst, **kw)
+
+    monkeypatch.setattr(commit_mod.os, "rename", no_rename)
+    monkeypatch.setattr(commit_mod.os, "replace", tracking_replace)
+    _staged_overwrite(spark.range(4).select(F.col("id").alias("k")), target)
+    assert _read_current(spark, target) == [0, 1, 2, 3]
+    assert replaced == [os.path.join(target, commit_mod.CURRENT_POINTER)]
+
+
+def test_manifest_write_failure_leaves_pointer_and_reclaims_partial(
+    spark, tmp_path, manifest_mode
+):
+    target = str(tmp_path / "mtable")
+    _staged_overwrite(spark.range(3).select(F.col("id").alias("k")), target)
+    before = _read_current(spark, target)
+    bad = spark.range(5).select(
+        F.assert_true(F.col("id") < 0).alias("x"), F.col("id").alias("k")
+    )
+    with pytest.raises(Exception):
+        _staged_overwrite(bad, target)
+    assert _read_current(spark, target) == before
+    gens = [n for n in os.listdir(target) if n.startswith("gen-")]
+    assert len(gens) == 1, f"partial generation survived the error path: {gens}"
+
+
+def test_manifest_refuses_pointerless_nonempty_target(
+    spark, tmp_path, manifest_mode
+):
+    """Nesting generations inside a live rename-mode parquet dir would
+    leave bare-path readers seeing mixed content — refuse eagerly."""
+    target = str(tmp_path / "flat_table")
+    spark.range(2).select(F.col("id").alias("k")).write.parquet(target)
+    with pytest.raises(ValueError, match="rename-mode"):
+        _staged_overwrite(spark.range(3).select(F.col("id").alias("k")), target)
+
+
+def test_resolve_table_passthrough_and_corrupt_pointer(tmp_path):
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    assert commit_mod.resolve_table(plain) == plain  # no pointer → as-is
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, commit_mod.CURRENT_POINTER), "w") as f:
+        f.write("../evil\n")
+    with pytest.raises(ValueError, match="corrupt"):
+        commit_mod.resolve_table(bad)
+
+
 def test_insert_key_offset_floors_at_fixture_scale_and_grows_past_it(spark):
     """Fixture SFs (max key ≪ 1e8) keep the historical 1e8 offset —
     committed attestations stay bit-identical — while a key domain at

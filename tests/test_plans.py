@@ -424,6 +424,57 @@ def test_sparse_census_adjacency_broadcast_is_reused(spark, tmp_path):
     assert "ReusedExchange" in final, final
 
 
+def test_dense_census_guard_is_conjunctive(spark, tmp_path, monkeypatch):
+    """The dense branch's ``edges.toPandas()`` is the one driver
+    materialization in the census; the double guard (vertices ≤ cap AND
+    edges ≤ cap, graph.py dispatch) is all that stands between it and a
+    driver OOM (VERDICT r14 #6).  Pin that the guard is a CONJUNCTION:
+    a graph over EITHER cap dispatches sparse even when the other cap
+    is misconfigured astronomically high — so one careless conf bump
+    cannot re-route a huge edge list through the driver — and both
+    dispatches agree on the census numbers."""
+    from itertools import combinations
+
+    import pyspark_analytics_library_spark.operators.graph as graph_mod
+
+    k6 = spark.createDataFrame(
+        [(u, v) for u, v in combinations(range(1, 7), 2)], "u long, v long"
+    )
+    calls = []
+    real_sparse = graph_mod._sparse_triangle_sum_frame
+
+    def tracking_sparse(*a, **kw):
+        calls.append(1)
+        return real_sparse(*a, **kw)
+
+    monkeypatch.setattr(graph_mod, "_sparse_triangle_sum_frame", tracking_sparse)
+    spark.conf.set("spark.analytics.scratchDir", str(tmp_path / "scratch"))
+    v_cap = "spark.analytics.graph.denseMatmulMaxVertices"
+    e_cap = "spark.analytics.graph.denseMatmulMaxEdges"
+    try:
+        # stock caps: K6 (6 vertices / 15 edges) is dense — sparse untouched
+        dense_row = tuple(graph_mod.triangle_census(spark, k6).collect()[0])
+        assert calls == [], "fixture-sized graph should take the dense path"
+        # edge cap exceeded, vertex cap misconfigured sky-high → sparse
+        spark.conf.set(v_cap, str(10**9))
+        spark.conf.set(e_cap, "10")
+        assert (
+            tuple(graph_mod.triangle_census(spark, k6).collect()[0]) == dense_row
+        )
+        assert calls == [1], "edge cap alone must force the sparse dispatch"
+        # vertex cap exceeded, edge cap misconfigured sky-high → sparse
+        spark.conf.set(v_cap, "3")
+        spark.conf.set(e_cap, str(10**12))
+        assert (
+            tuple(graph_mod.triangle_census(spark, k6).collect()[0]) == dense_row
+        )
+        assert calls == [1, 1], "vertex cap alone must force the sparse dispatch"
+    finally:
+        spark.conf.unset(v_cap)
+        spark.conf.unset(e_cap)
+        spark.conf.unset("spark.analytics.scratchDir")
+
+
 def test_sparse_census_reclaims_scratch_before_returning(spark, tmp_path):
     """The sparse census collects its one scalar internally and must
     delete the whole scratch generation (e_dir + nbrs parquet) before

@@ -26,6 +26,30 @@ def _r(col: Column | str, scale: int = 4) -> Column:
     return F.round(col, scale)
 
 
+def money_sum(col: Column, scale: int = 4) -> Column:
+    """Order-independent money sum (SURVEY.md §5.3 rule 12, added after
+    the round-15 sf≈1 sweep): cast each row's double to DECIMAL(27,8)
+    — exact, since both engines perform the identical IEEE double
+    computation per row and the identical nearest-decimal rounding —
+    then SUM in decimal, where addition is associative, so the result
+    is bit-identical regardless of partition order or engine.  Rounded
+    and cast back to double so the compare surface stays atomic.
+
+    Rule 8's rescale-to-millions only *buys margin* (noise grows with
+    row count and crosses any fixed rounding threshold eventually —
+    caught live at sf≈1: agg_pricing_summary's sum_disc_price and
+    agg_rollup's grand total both flipped a 4-dp digit); decimal
+    summation removes the noise entirely at ANY scale.  Cost measured
+    at sf1 (6 M rows): 0.11 s vs 0.07 s warm for the double sum —
+    invisible at bench SF.  Spark widens SUM(DECIMAL(27,8)) to
+    DECIMAL(37,8): overflow headroom to 1e29, safe past 100 TB.
+
+    DuckDB spelling (both sides must round/cast identically):
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(27,8))), 4) AS DOUBLE)``.
+    """
+    return F.round(F.sum(col.cast("decimal(27,8)")), scale).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # agg_pricing_summary — TPC-H Q1 shape; the flagship `entry()` query.
 # ---------------------------------------------------------------------------
@@ -42,17 +66,21 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
         lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # sum_qty stays a double sum: l_quantity is all-integer in
+            # the fixture, and integer float64 sums are EXACT below
+            # 2^53 (~9e15 — far past 100 TB's ~3.75e10).  The three
+            # price sums are money_sum (§5.3 rule 12): their raw
+            # double sums flipped a 4-dp digit at the round-15 sf≈1
+            # sweep (sum_disc_price …289.7999 vs …289.8).
             _r(F.sum("l_quantity")).alias("sum_qty"),
-            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
-            _r(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                )
+            money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             _r(F.avg("l_quantity")).alias("avg_qty"),
             _r(F.avg("l_extendedprice")).alias("avg_price"),
@@ -93,9 +121,12 @@ def mode_deterministic(df: DataFrame, key: str, value: str) -> DataFrame:
         l_returnflag,
         l_linestatus,
         ROUND(SUM(l_quantity), 4)                                          AS sum_qty,
-        ROUND(SUM(l_extendedprice), 4)                                     AS sum_base_price,
-        ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                  AS sum_disc_price,
-        ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)    AS sum_charge,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,8))), 4)
+             AS DOUBLE)                                                    AS sum_base_price,
+        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(27,8))), 4) AS DOUBLE)                             AS sum_disc_price,
+        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+             AS DECIMAL(27,8))), 4) AS DOUBLE)                             AS sum_charge,
         ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
         ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
         ROUND(AVG(l_discount), 4)                                          AS avg_disc,
@@ -162,7 +193,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o_orderstatus, '[ALL]') AS o_orderstatus,
            GROUPING(n_name) * 2 + GROUPING(o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,8))), 4)
+                AS DOUBLE) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -170,6 +202,10 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total_price is money_sum (§5.3 rule 12): the rollup's grand
+    total sums EVERY order — ~3.75e11 at sf≈1, where double
+    summation-order noise flipped the 4-dp digit in the round-15
+    sweep (…585.5996 vs …585.6007)."""
     t = load_tables(spark, sf_dir)
     joined = (
         t["orders"]
@@ -181,7 +217,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("n_name") * 2 + F.grouping("o_orderstatus")).alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            money_sum(F.col("o_totalprice")).alias("total_price"),
         )
         .select(
             F.coalesce("n_name", F.lit("[ALL]")).alias("n_name"),

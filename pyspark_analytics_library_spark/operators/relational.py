@@ -332,7 +332,9 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_broadcast",
     oracle="""
-    SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT r_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(27,8))), 4) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -343,7 +345,13 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit F.broadcast hints on every dim: the fact table is never
     shuffled for the join at any scale (result identical to planner
-    choice; strategy is physical — SURVEY.md §2.3)."""
+    choice; strategy is physical — SURVEY.md §2.3).
+
+    revenue is money_sum (§5.3 rule 12): 5 region groups over ALL of
+    lineitem reach ~6e10 at sf≈1, where the round-15 sweep caught the
+    raw double sum flipping its 4-dp digit (…111.3918 vs …111.392)."""
+    from pyspark_analytics_library_spark.operators.aggregates import money_sum
+
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
@@ -351,7 +359,11 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
     )
 
 

@@ -117,16 +117,23 @@ class _Pin:
 #: showed the /1e3 4-dp spelling sits inside cross-engine
 #: summation-order noise at 15 M rows.  Row count (5 status groups at
 #: sf0.01) does not move → expect_rows=None.
-#: agg_pricing_summary / agg_rollup (until r15): price sums respelled
-#: money_sum (decimal-exact, §5.3 rule 12) after the round-15 sf≈1
-#: sweep caught both flipping a 4-dp digit to cross-engine (and even
-#: cross-RUN DuckDB thread-order) summation noise.  Row counts at the
-#: driver SF (6 / 101) do not move → expect_rows=None.
+#: agg_pricing_summary / agg_rollup / join_broadcast (until r15):
+#: price sums respelled money_sum (decimal-exact, §5.3 rule 12) after
+#: the round-15 sf≈1 sweep caught all three flipping a 4-dp digit to
+#: cross-engine (and even cross-RUN DuckDB thread-order) summation
+#: noise.  agg_histogram / sql_ansi_shared (until r15): same
+#: respelling from the sweep's follow-up margin audit (their 2-dp
+#: money columns measured 7.1e10 / 3.0e10 at sf1 — within 1.5 decimal
+#: orders of the same flip).  Row counts at the driver SF do not move
+#: → expect_rows=None.
 _PRIORITY: dict[str, _Pin] = {
     "mm_decode_batch": _Pin(until=13),
     "sink_merge_upsert": _Pin(until=13),
     "agg_pricing_summary": _Pin(until=15),
     "agg_rollup": _Pin(until=15),
+    "join_broadcast": _Pin(until=15),
+    "agg_histogram": _Pin(until=15),
+    "sql_ansi_shared": _Pin(until=15),
 }
 
 

@@ -1125,3 +1125,37 @@ def test_decode_image_grid_roundtrip_and_corruption():
     for cut in range(4, IMG_HEADER_LEN):
         with pytest.raises(ValueError, match="truncated header"):
             decode_image_grid(payload[:cut])
+
+
+def test_money_sum_layout_invariant_and_decimal_exact(spark):
+    """§5.3 rule 12 pinned red-side: money_sum must be bit-identical
+    across partition layouts (decimal addition is associative — the
+    whole point) AND equal the exact Python-Decimal reference sum of
+    the per-row 8-dp quantizations, so the Spark spelling can never
+    silently degrade back to order-sensitive double accumulation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import money_sum
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    li = load_tables(spark, TEST_SF_DIR)["lineitem"]
+    expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def run(df):
+        return df.agg(money_sum(expr).alias("s")).collect()[0]["s"]
+
+    base = run(li)
+    assert run(li.repartition(13)) == base
+    assert run(li.coalesce(1)) == base
+    assert run(li.orderBy(F.col("l_orderkey").desc())) == base
+
+    # Exact reference: quantize each row's double product to 8 dp
+    # HALF_UP (the documented cast semantics), sum exactly, round 4.
+    rows = li.select(expr.alias("x")).collect()
+    q8 = Decimal("0.00000001")
+    ref = sum(
+        Decimal(repr(r["x"])).quantize(q8, ROUND_HALF_UP) for r in rows
+    ).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+    assert base == float(ref)

@@ -26,28 +26,78 @@ def _r(col: Column | str, scale: int = 4) -> Column:
     return F.round(col, scale)
 
 
-def money_sum(col: Column, scale: int = 4) -> Column:
-    """Order-independent money sum (SURVEY.md §5.3 rule 12, added after
-    the round-15 sf≈1 sweep): cast each row's double to DECIMAL(27,8)
-    — exact, since both engines perform the identical IEEE double
-    computation per row and the identical nearest-decimal rounding —
-    then SUM in decimal, where addition is associative, so the result
-    is bit-identical regardless of partition order or engine.  Rounded
-    and cast back to double so the compare surface stays atomic.
+def money(col: Column | str) -> Column:
+    """Cast a 2-dp money column (price/balance, |x| < 1e10) to
+    DECIMAL(12,2) — EXACT and engine-identical for 2-dp source data.
 
-    Rule 8's rescale-to-millions only *buys margin* (noise grows with
-    row count and crosses any fixed rounding threshold eventually —
-    caught live at sf≈1: agg_pricing_summary's sum_disc_price and
-    agg_rollup's grand total both flipped a 4-dp digit); decimal
-    summation removes the noise entirely at ANY scale.  Cost measured
-    at sf1 (6 M rows): 0.11 s vs 0.07 s warm for the double sum —
-    invisible at bench SF.  Spark widens SUM(DECIMAL(27,8)) to
-    DECIMAL(37,8): overflow headroom to 1e29, safe past 100 TB.
-
-    DuckDB spelling (both sides must round/cast identically):
-    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(27,8))), 4) AS DOUBLE)``.
+    The fixture money columns (FIXTURES.md) hold doubles that are the
+    nearest-double of k/100; that double is always within ~1e-11 of
+    k/100 and never at a 3-dp half point, so rounding it to 2 dp
+    recovers k/100 on BOTH engines regardless of their tie rules.
+    (Contrast with casting a COMPUTED double like price*(1-disc) to
+    decimal: there the value can land exactly between two 8-dp
+    decimals, and the round-15 advice audit measured Spark's HALF_UP
+    on the shortest-repr string vs DuckDB's ties-to-even on the binary
+    value disagreeing on ~6e-4 of rows by ±1e-8 — which is why rule 12
+    now casts OPERANDS, not products.)
     """
-    return F.round(F.sum(col.cast("decimal(27,8)")), scale).cast("double")
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("decimal(12,2)")
+
+
+def rate(col: Column | str) -> Column:
+    """Cast a 2-dp rate column (discount/tax, |x| < 10) to
+    DECIMAL(3,2) — exact and engine-identical; see :func:`money`."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("decimal(3,2)")
+
+
+def one() -> Column:
+    """Exact decimal literal 1 for (1 − discount) / (1 + tax) factors.
+
+    DECIMAL(3,2) keeps the product precision small enough that the
+    full price*(1−disc)*(1+tax) chain stays far from Spark's 38-digit
+    cap (12,2 × 4,2 × 4,2 → DECIMAL(22,6); SUM widens +10 → 1e26
+    headroom — any conceivable scale)."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+def money_sum(col: Column, scale: int = 4) -> Column:
+    """Order-independent, cross-engine-EXACT money sum (SURVEY.md §5.3
+    rule 12, respelled in round 16 per the r15 advice audit): ``col``
+    must be a DECIMAL expression built from :func:`money` /
+    :func:`rate` / :func:`one` operands (e.g. ``money("l_extendedprice")
+    * (one() - rate("l_discount"))``).  All arithmetic then happens in
+    decimal — exact on both engines with identical per-row results —
+    and SUM in decimal is associative, so the total is bit-identical
+    regardless of partition order, thread schedule, or engine, at ANY
+    scale.
+
+    The round-15 spelling cast the per-row double PRODUCT to
+    DECIMAL(27,8); the advice audit measured that cast disagreeing
+    between engines on ~6e-4 of rows by ±1e-8 (Spark rounds the
+    shortest-repr decimal string HALF_UP, DuckDB rounds the binary
+    value ties-to-even), so it bought ~6 orders of margin, not
+    exactness.  Operand-decimal arithmetic removes the class: the
+    operands are 2-dp source data whose double→decimal cast has no
+    ties (see :func:`money`), and every later step is exact integer
+    arithmetic.  Verified bit-identical old-vs-new at sf0.001/0.01/0.1
+    on all five rule-12 queries (SCALE.md round-16 ledger) and
+    cross-engine per-row on the full sf0.1 fixture
+    (tests/test_properties.py::test_money_decimal_cross_engine_exact).
+
+    The final ROUND(…, scale) on the exact decimal sum is also
+    engine-identical: both Spark and DuckDB round decimals half-AWAY
+    from zero (probed: 2.5→3, −2.5→−3, 0.000050→0.0001 on both), and
+    the input is an exact decimal, so no binary-repr ambiguity is left
+    to diverge on.  Cast back to double keeps the compare surface
+    atomic.
+
+    DuckDB spelling (both sides must cast/round identically), e.g.:
+    ``CAST(ROUND(SUM(CAST(x AS DECIMAL(12,2)) * (CAST(1 AS
+    DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))), 4) AS DOUBLE)``.
+    """
+    return F.round(F.sum(col), scale).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -71,16 +121,17 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
             # 2^53 (~9e15 — far past 100 TB's ~3.75e10).  The three
             # price sums are money_sum (§5.3 rule 12): their raw
             # double sums flipped a 4-dp digit at the round-15 sf≈1
-            # sweep (sum_disc_price …289.7999 vs …289.8).
+            # sweep (sum_disc_price …289.7999 vs …289.8); r16 moved
+            # the decimal casts from the product to the operands.
             _r(F.sum("l_quantity")).alias("sum_qty"),
-            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
+            money_sum(money("l_extendedprice")).alias("sum_base_price"),
             money_sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
+                money("l_extendedprice") * (one() - rate("l_discount"))
+            ).alias("sum_disc_price"),
+            money_sum(
+                money("l_extendedprice")
+                * (one() - rate("l_discount"))
+                * (one() + rate("l_tax"))
             ).alias("sum_charge"),
             _r(F.avg("l_quantity")).alias("avg_qty"),
             _r(F.avg("l_extendedprice")).alias("avg_price"),
@@ -121,12 +172,15 @@ def mode_deterministic(df: DataFrame, key: str, value: str) -> DataFrame:
         l_returnflag,
         l_linestatus,
         ROUND(SUM(l_quantity), 4)                                          AS sum_qty,
-        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(27,8))), 4)
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 4)
              AS DOUBLE)                                                    AS sum_base_price,
-        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-             AS DECIMAL(27,8))), 4) AS DOUBLE)                             AS sum_disc_price,
-        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-             AS DECIMAL(27,8))), 4) AS DOUBLE)                             AS sum_charge,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             ), 4) AS DOUBLE)                                              AS sum_disc_price,
+        CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
+             ), 4) AS DOUBLE)                                              AS sum_charge,
         ROUND(AVG(l_quantity), 4)                                          AS avg_qty,
         ROUND(AVG(l_extendedprice), 4)                                     AS avg_price,
         ROUND(AVG(l_discount), 4)                                          AS avg_disc,
@@ -193,7 +247,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(o_orderstatus, '[ALL]') AS o_orderstatus,
            GROUPING(n_name) * 2 + GROUPING(o_orderstatus) AS gid,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,8))), 4)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 4)
                 AS DOUBLE) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -217,7 +271,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.grouping("n_name") * 2 + F.grouping("o_orderstatus")).alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            money_sum(F.col("o_totalprice")).alias("total_price"),
+            money_sum(money("o_totalprice")).alias("total_price"),
         )
         .select(
             F.coalesce("n_name", F.lit("[ALL]")).alias("n_name"),
@@ -425,6 +479,52 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def exact_quantile_guard(
+    spark: SparkSession, df: DataFrame, cols: list[str]
+) -> None:
+    """Fail fast before Spark's exact percentile state OOMs the JVM
+    (VERDICT r15 #2).
+
+    ``percentile()``/``median()`` accumulate an open hash map of EVERY
+    distinct value of the aggregated column per task — O(distinct)
+    memory that the round-15 sf≈1 sweep measured OOM-killing a 1 g JVM
+    at 6 M distinct-heavy rows (SCALE.md), with a raw
+    ``java.lang.OutOfMemoryError`` as the only diagnostic.  This guard
+    spends one cheap HLL aggregate (approx_count_distinct, ±5 %,
+    fixed-size sketch state — the same job shape at any input size) and
+    raises an ACTIONABLE error naming the sketch path instead.
+
+    Confs: ``spark.analytics.quantile.maxDistinctPerColumn`` (default
+    5e6 ≈ hundreds of MB of per-task hash-map state — past it a 1 g
+    executor is in OOM territory, and even large executors pay an
+    unbounded-state risk that percentile_approx avoids outright) and
+    ``spark.analytics.quantile.guard`` = ``false`` to skip the probe
+    job entirely (the describe.selfCheck pattern) when the caller has
+    sized executors for a known value domain.
+    """
+    if spark.conf.get("spark.analytics.quantile.guard", "true").lower() != "true":
+        return
+    cap = int(
+        spark.conf.get("spark.analytics.quantile.maxDistinctPerColumn", "5000000")
+    )
+    probe = df.agg(
+        *[F.approx_count_distinct(c, rsd=0.05).alias(c) for c in cols]
+    ).collect()[0]
+    over = {c: probe[c] for c in cols if probe[c] > cap}
+    if over:
+        raise ValueError(
+            "agg_quantile: exact percentile/median holds every distinct value "
+            f"in per-task memory, and column(s) {over} exceed "
+            f"spark.analytics.quantile.maxDistinctPerColumn={cap} "
+            "(measured: a 1 g JVM OOMs near 6 M distinct values — SCALE.md "
+            "round-15 sf≈1 sweep).  Use the sketch path instead "
+            "(agg_approx_quantile / F.percentile_approx: fixed-size state at "
+            "any scale), raise the cap after sizing executor memory for "
+            "~50 bytes per distinct value per task, or set "
+            "spark.analytics.quantile.guard=false to bypass this probe."
+        )
+
+
 @query(
     "agg_quantile",
     oracle="""
@@ -439,13 +539,16 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median/percentiles (full-sort semantics).  The 100 TB
-    default is `agg_approx_quantile` below — exact quantiles require a
-    per-group sort; approx uses a fixed-size sketch."""
+    default is `agg_approx_quantile` below — exact quantiles require
+    O(distinct-values) per-task state; :func:`exact_quantile_guard`
+    fails fast past a conf-set distinct cap instead of letting the JVM
+    OOM (VERDICT r15 #2), naming the sketch path in the error."""
     t = load_tables(spark, sf_dir)
+    df = t["lineitem"]
+    exact_quantile_guard(spark, df, ["l_quantity", "l_extendedprice"])
     q = F.col("l_quantity")
     return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
+        df.groupBy("l_returnflag")
         .agg(
             _r(F.median(q)).alias("med_qty"),
             _r(F.percentile(q, F.lit(0.25))).alias("q25_qty"),
@@ -867,7 +970,7 @@ def q_agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LEAST(FLOOR(o_totalprice / 50000.0), 11) * 50000.0, 2)
                AS bucket_lo,
            COUNT(*) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,8))), 2)
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2)
                 AS DOUBLE) AS total_price
     FROM orders
     GROUP BY 1, 2
@@ -902,7 +1005,7 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            money_sum(F.col("o_totalprice"), scale=2).alias("total_price"),
+            money_sum(money("o_totalprice"), scale=2).alias("total_price"),
         )
         .orderBy("bucket")
     )

@@ -333,8 +333,9 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT r_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(27,8))), 4) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                ), 4) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
@@ -350,7 +351,12 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue is money_sum (§5.3 rule 12): 5 region groups over ALL of
     lineitem reach ~6e10 at sf≈1, where the round-15 sweep caught the
     raw double sum flipping its 4-dp digit (…111.3918 vs …111.392)."""
-    from pyspark_analytics_library_spark.operators.aggregates import money_sum
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        money,
+        money_sum,
+        one,
+        rate,
+    )
 
     t = load_tables(spark, sf_dir)
     return (
@@ -361,7 +367,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             money_sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                money("l_extendedprice") * (one() - rate("l_discount"))
             ).alias("revenue")
         )
     )

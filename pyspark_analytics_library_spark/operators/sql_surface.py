@@ -44,8 +44,9 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) ->
 SHARED_ANSI_SQL = """
     SELECT l_returnflag, l_linestatus,
            COUNT(*) AS n_items,
-           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                AS DECIMAL(27,8))), 2) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                ), 2) AS DOUBLE) AS revenue,
            ROUND(AVG(l_quantity), 4) AS avg_qty
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -126,6 +126,17 @@ class _Pin:
 #: money columns measured 7.1e10 / 3.0e10 at sf1 — within 1.5 decimal
 #: orders of the same flip).  Row counts at the driver SF do not move
 #: → expect_rows=None.
+#:
+#: Round 16 respelled money_sum again (operand-level DECIMAL — §5.3
+#: rule 12, ADVICE r15) WITHOUT pins: the change was verified
+#: output-BIT-IDENTICAL to the r15 spelling on both engines at
+#: sf0.001/0.01/0.1 for all five rule-12 queries before landing
+#: (SCALE.md round-16 ledger), so the green r15 driver rows attest
+#: exactly the values the new code produces — there is no result
+#: delta for a pin to force re-attestation of, and the r16 rotation
+#: budget (r11 tier 3 + r12 tier 48 = 51 > K=50) had zero slack for
+#: cosmetic pins.  The ADVICE r15 stale-checkout hazard is moot for
+#: an output-identical change by construction.
 _PRIORITY: dict[str, _Pin] = {
     "mm_decode_batch": _Pin(until=13),
     "sink_merge_upsert": _Pin(until=13),

@@ -29,13 +29,17 @@ never happened.  There is no window in which the table is absent or
 truncated — strictly stronger than the rename swap's documented
 "briefly absent, recoverable by hand" gap.
 
-Cost model at 100 TB: a generation is a full copy-on-write rewrite of
-the table (same as the rename mode — both are overwrite sinks), and
+Cost model at 100 TB: a v1 generation is a full copy-on-write rewrite
+of the table (same as the rename mode — both are overwrite sinks), and
 ``KEEP_GENERATIONS=2`` holds one superseded generation as the readers'
 grace window + instant rollback, so peak storage is 2× table size.
-Lakehouse table formats (Delta/Iceberg/Hudi — scoped out per SURVEY
-§7) refine exactly this protocol with per-FILE manifests so an update
-rewrites only touched files; the pointer-swap commit core is the same.
+Lakehouse table formats (Delta/Iceberg/Hudi) refine exactly this
+protocol with per-FILE manifests so an update rewrites only touched
+files — and as of round 16 this module implements that core pattern
+too: the v2 functions below (:func:`table_init` / :func:`table_merge`
+/ :func:`table_read`) commit a FILE LIST per generation, and a merge
+rewrites only the hash-buckets its update batch touches (VERDICT r15
+#2).  The pointer-swap commit core is shared by both versions.
 
 Mode selection: conf ``spark.analytics.sink.commitMode`` = ``rename``
 (default — keeps every committed fixture attestation byte-identical)
@@ -147,5 +151,305 @@ def _prune_generations(target: str, current: str) -> None:
         )
         for n in gens[KEEP_GENERATIONS - 1 :]:
             shutil.rmtree(os.path.join(target, n), ignore_errors=True)
+    except OSError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# v2: per-FILE manifests — incremental merge commits (VERDICT r15 #2)
+# ---------------------------------------------------------------------------
+#
+# The v1 protocol above is honest about its cost: every commit is a
+# full copy-on-write generation (2× peak storage, whole-table rewrite).
+# At 100 TB a merge that touches 0.1 % of keys must not rewrite the
+# other 99.9 % — the Delta/Iceberg core pattern is a MANIFEST that
+# lists data FILES, so a commit rewrites only the files containing
+# touched keys and carries every other file over BY REFERENCE.  v2
+# implements exactly that, reusing v1's one atomic primitive (the
+# ``_CURRENT`` pointer swap — a single-object PUT on a store):
+#
+# * data files live under ``<target>/data/<commit-id>/bucket=<b>/`` —
+#   hash-bucketed by the merge key (``pmod(xxhash64(key), n_buckets)``),
+#   so "which files can contain key k" is pure arithmetic, no index;
+# * a generation is a small JSON file ``<target>/manifest-<uuid>.json``
+#   listing (relative path, bucket) per data file plus the bucket
+#   spec and the table schema;
+# * ``_CURRENT`` names the live manifest file.  Readers resolve
+#   pointer → manifest → file list and scan exactly those files; a
+#   reader sees the complete old file set or the complete new one;
+# * a merge commit reads ONLY the files of buckets present in the
+#   update batch, applies the caller's merge function to (that slice,
+#   updates), writes the replacement files for those buckets, and
+#   writes a new manifest = carried-over untouched files + new files.
+#   Crash during data/manifest write → pointer (and readers) stay on
+#   the old manifest; orphans are reclaimed by :func:`_prune_manifests`
+#   after the next successful commit.
+#
+# Cost model at 100 TB: a merge rewrites touched buckets only —
+# storage and write amplification scale with the UPDATE footprint, not
+# the table.  n_buckets (conf ``spark.analytics.sink.mergeBuckets``)
+# is the rewrite granularity: production tables size it so bucket ≈
+# a few GB (e.g. 100 TB / 32k buckets ≈ 3 GB); the fixture default 16
+# keeps file counts test-visible.  Bucket-pruned READS fall out for
+# free: a point lookup on the merge key needs one bucket's files.
+
+MERGE_BUCKETS_CONF = "spark.analytics.sink.mergeBuckets"
+MANIFEST_PREFIX = "manifest-"
+DATA_DIR = "data"
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    """Deterministic bucket id for a merge key — identical arithmetic
+    writer- and reader-side, so bucket routing needs no lookup."""
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
+
+
+def _write_bucketed(df: DataFrame, target: str, key: str, n_buckets: int) -> list[dict]:
+    """Write ``df`` hash-bucketed by ``key`` under a fresh commit dir;
+    return manifest entries [{"path": rel, "bucket": b}, ...].
+
+    ``partitionBy`` lays files out as ``bucket=<b>/part-*.parquet`` and
+    DROPS the helper column from the data files; readers get the
+    original schema back because :func:`table_read` passes explicit
+    leaf files (no basePath → no partition-column inference).  One
+    repartition on the bucket id keeps it to one file per non-empty
+    bucket at fixture scale (a production writer would also split by
+    target file size)."""
+    from pyspark.sql import functions as F
+
+    if "bucket" in df.columns:
+        # The helper column would collide and partitionBy would route
+        # on the caller's data instead of the key hash — refuse loudly.
+        raise ValueError(
+            "per-file manifest tables reserve the column name 'bucket'; "
+            "rename that column before table_init/table_merge"
+        )
+    commit_id = f"c-{uuid.uuid4().hex[:12]}"
+    commit_dir = os.path.join(target, DATA_DIR, commit_id)
+    try:
+        (
+            df.withColumn("bucket", _bucket_expr(key, n_buckets))
+            .repartition(n_buckets, "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+    except BaseException:
+        shutil.rmtree(commit_dir, ignore_errors=True)
+        raise
+    entries = []
+    for bucket_dir in sorted(os.listdir(commit_dir)):
+        if not bucket_dir.startswith("bucket="):
+            continue
+        b = int(bucket_dir.split("=", 1)[1])
+        for fn in sorted(os.listdir(os.path.join(commit_dir, bucket_dir))):
+            if fn.endswith(".parquet"):
+                entries.append(
+                    {
+                        "path": "/".join([DATA_DIR, commit_id, bucket_dir, fn]),
+                        "bucket": b,
+                    }
+                )
+    return entries
+
+
+def _commit_manifest(target: str, manifest: dict) -> str:
+    """Write a new manifest file and atomically repoint ``_CURRENT`` at
+    it — the v2 commit point, same one-small-file swap as v1."""
+    import json
+
+    name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:12]}.json"
+    tmp = os.path.join(target, f".{name}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(target, name))
+    _swap_pointer(target, name)
+    _prune_manifests(target, name)
+    return name
+
+
+def _load_manifest(target: str) -> dict:
+    """The live manifest dict for a v2 table (pointer → JSON)."""
+    import json
+
+    live = resolve_table(target)
+    base = os.path.basename(live)
+    if not base.startswith(MANIFEST_PREFIX):
+        raise ValueError(
+            f"{target} is not a per-file manifest table (pointer names "
+            f"{base!r}); seed it with table_init() first"
+        )
+    with open(live, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def table_init(
+    df: DataFrame, target: str, bucket_key: str, n_buckets: int | None = None
+) -> dict:
+    """(Re)seed ``target`` as a v2 per-file manifest table from ``df``.
+
+    A full bucketed write + manifest commit — the ONE unavoidable
+    whole-table write; every later :func:`table_merge` is incremental.
+    Re-seeding an existing v2 table is an ordinary commit (readers on
+    the old manifest are undisturbed; superseded files are pruned).
+    Refuses a pointerless non-empty target exactly like v1
+    :func:`manifest_commit` and for the same reason."""
+    if (
+        os.path.isdir(target)
+        and os.listdir(target)
+        and not os.path.exists(os.path.join(target, CURRENT_POINTER))
+    ):
+        raise ValueError(
+            f"{target} holds a non-manifest (rename-mode) table; refusing "
+            "to nest a manifest layout inside it"
+        )
+    if n_buckets is None:
+        n_buckets = int(
+            df.sparkSession.conf.get(MERGE_BUCKETS_CONF, "16")
+        )
+    os.makedirs(target, exist_ok=True)
+    entries = _write_bucketed(df, target, bucket_key, n_buckets)
+    manifest = {
+        "version": 2,
+        "bucket_key": bucket_key,
+        "n_buckets": n_buckets,
+        "schema": df.schema.json(),
+        "files": entries,
+    }
+    _commit_manifest(target, manifest)
+    return {"files": len(entries), "n_buckets": n_buckets}
+
+
+def table_read(spark, target: str) -> DataFrame:
+    """Scan the live manifest's file list — the v2 reader.  Explicit
+    leaf paths (not the data/ root): a reader never globs, so orphaned
+    files from an in-flight or crashed commit are invisible to it."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    man = _load_manifest(target)
+    paths = [os.path.join(target, e["path"]) for e in man["files"]]
+    if not paths:
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(man["schema"]))
+        )
+    return spark.read.parquet(*paths)
+
+
+def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
+    """Incremental merge commit: rewrite ONLY the buckets the update
+    batch touches; carry every other data file into the new manifest
+    by reference (the Delta/Iceberg copy-on-write core).
+
+    ``merge_fn(base_slice, updates) -> DataFrame`` supplies the merge
+    semantics (e.g. scd1_merged / the SCD-2 close-out) and must return
+    the table schema.  It sees ONLY the touched-bucket slice of the
+    base — sound because an update to key k can, by bucket-routing
+    arithmetic, only affect files in bucket(k), which is touched by
+    construction; rows of untouched buckets are bit-identical carried
+    files, not rewritten rows.
+
+    Returns commit stats — {"touched_buckets", "rewritten_files",
+    "carried_files", "new_files"} — so callers and tests can assert
+    the strict-subset rewrite property instead of trusting it.
+    """
+    from pyspark.sql import functions as F
+
+    man = _load_manifest(target)
+    key, n_buckets = man["bucket_key"], int(man["n_buckets"])
+    # One tiny collect: ≤ n_buckets ints — never data-sized.
+    touched = sorted(
+        r[0]
+        for r in updates.select(_bucket_expr(key, n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    touched_set = set(touched)
+    old_files = man["files"]
+    rewritten = [e for e in old_files if e["bucket"] in touched_set]
+    carried = [e for e in old_files if e["bucket"] not in touched_set]
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    if rewritten:
+        base_slice = spark.read.schema(schema).parquet(
+            *[os.path.join(target, e["path"]) for e in rewritten]
+        )
+    else:
+        base_slice = spark.createDataFrame([], schema)
+    merged = merge_fn(base_slice, updates)
+    entries = _write_bucketed(merged, target, key, n_buckets)
+    stray = [e["bucket"] for e in entries if e["bucket"] not in touched_set]
+    if stray:
+        # merge_fn emitted rows outside the update batch's buckets —
+        # would silently shadow carried files; refuse before commit.
+        raise ValueError(
+            f"table_merge: merge_fn produced rows in untouched buckets "
+            f"{sorted(set(stray))}; a merge may only rewrite the touched "
+            "slice (did merge_fn rekey rows?)"
+        )
+    manifest = dict(man, files=carried + entries)
+    _commit_manifest(target, manifest)
+    return {
+        "touched_buckets": touched,
+        "rewritten_files": len(rewritten),
+        "carried_files": len(carried),
+        "new_files": len(entries),
+    }
+
+
+def _prune_manifests(target: str, current: str) -> None:
+    """Reclaim superseded manifests and unreferenced data files,
+    keeping the live manifest plus the newest ``KEEP_GENERATIONS - 1``
+    others (same grace-window contract as v1).  Runs after the pointer
+    swap — a crash here costs disk, never correctness.  Best-effort:
+    every deletion target is derived from manifests no reader can
+    reach through the pointer anymore."""
+    import json
+
+    try:
+        manifests = [
+            n
+            for n in os.listdir(target)
+            if n.startswith(MANIFEST_PREFIX) and n != current
+        ]
+        manifests.sort(
+            key=lambda n: os.path.getmtime(os.path.join(target, n)),
+            reverse=True,
+        )
+        keep = [current] + manifests[: KEEP_GENERATIONS - 1]
+        for n in manifests[KEEP_GENERATIONS - 1 :]:
+            try:
+                os.remove(os.path.join(target, n))
+            except OSError:
+                pass
+        referenced: set[str] = set()
+        for n in keep:
+            try:
+                with open(os.path.join(target, n), encoding="utf-8") as f:
+                    referenced.update(e["path"] for e in json.load(f)["files"])
+            except (OSError, ValueError, KeyError):
+                # Unreadable kept manifest: skip pruning entirely —
+                # never delete files we cannot prove unreferenced.
+                return
+        data_root = os.path.join(target, DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, target).replace(os.sep, "/")
+                if rel not in referenced:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
+            try:
+                os.rmdir(dirpath)  # only succeeds when emptied
+            except OSError:
+                pass
     except OSError:
         pass

@@ -557,11 +557,26 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    merged = scd1_merged(base, updates)
     path = _merge_target("sink_merge")
-    read_path = _staged_overwrite(merged, path)
+    if spark.conf.get(commit_mod.MODE_CONF, "rename") == "manifest":
+        # Per-FILE manifest path (VERDICT r15 #2): seed the base as a
+        # bucketed manifest table (the one unavoidable full write —
+        # idempotent per run), then apply the update batch as an
+        # INCREMENTAL merge commit that rewrites only the buckets the
+        # batch touches and carries every other data file by
+        # reference — at 100 TB write amplification scales with the
+        # update footprint, not the table.  Identical output to the
+        # rename path (same merge core, same oracle), pinned by
+        # tests/test_merge_safety.py's strict-subset + equivalence
+        # tests.
+        commit_mod.table_init(base, path, "o_orderkey")
+        commit_mod.table_merge(spark, path, updates, scd1_merged)
+        merged_read = commit_mod.table_read(spark, path)
+    else:
+        merged = scd1_merged(base, updates)
+        merged_read = spark.read.parquet(_staged_overwrite(merged, path))
     return (
-        spark.read.parquet(read_path)
+        merged_read
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -642,6 +657,50 @@ def scd2_history(orders: DataFrame) -> DataFrame:
     )
 
 
+def scd2_apply(base_hist: DataFrame, updates: DataFrame) -> DataFrame:
+    """Incremental SCD-2 merge core: apply an update batch to an
+    EXISTING history table (the :func:`scd2_history` schema —
+    ``valid_from``/``valid_to``/``is_current``), closing out each
+    updated key's CURRENT row at the update's ``valid_from`` and
+    appending the update as the new open row.
+
+    This is the per-slice form :func:`~pyspark_analytics_library_spark.
+    sources.commit.table_merge` needs — ``base_hist`` may be just the
+    touched-bucket slice of the table; correctness needs only that
+    every updated key's rows are present, which bucket routing
+    guarantees.  On a whole all-open base it reduces exactly to
+    :func:`scd2_history`'s union+window result (pinned equivalent by
+    the sink_merge_scd2 oracle under commitMode=manifest).  Same ONE
+    window / zero joins discipline: ``max(is_update)`` per key flags
+    supersession, the close-out date is the per-key max update
+    ``valid_from`` — pure CASE expressions, one shuffle on the merge
+    key."""
+    from pyspark.sql import Window
+
+    u_hist = updates.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit("u").alias("_src"),
+    )
+    allr = base_hist.withColumn("_src", F.lit("b")).unionByName(u_hist)
+    w = Window.partitionBy("o_orderkey")
+    has_upd = F.max((F.col("_src") == "u").cast("int")).over(w)
+    eff = F.max(F.when(F.col("_src") == "u", F.col("valid_from"))).over(w)
+    superseded = (F.col("_src") == "b") & (has_upd == 1) & F.col("is_current")
+    return allr.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "valid_from",
+        F.when(superseded, eff).otherwise(F.col("valid_to")).alias("valid_to"),
+        (F.col("is_current") & ~superseded).alias("is_current"),
+    )
+
+
 @query(
     "sink_merge_scd2",
     oracle=f"""
@@ -710,11 +769,51 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_staged_overwrite` crash-safe sink and
     :func:`_insert_key_offset` collision-free insert keys as SCD-1.
     """
-    hist = scd2_history(load_tables(spark, sf_dir)["orders"])
+    orders = load_tables(spark, sf_dir)["orders"]
     path = _merge_target("sink_merge_scd2")
-    read_path = _staged_overwrite(hist, path)
+    if spark.conf.get(commit_mod.MODE_CONF, "rename") == "manifest":
+        # Per-FILE manifest path (VERDICT r15 #2): seed the all-open
+        # base history, then ONE incremental close-out commit via
+        # :func:`scd2_apply` — only buckets containing updated keys
+        # are rewritten; the untouched history files are carried by
+        # reference.  See q_sink_merge_upsert's manifest comment.
+        offset = _insert_key_offset(orders)
+        eff = F.lit("1998-12-01").cast("date")
+        base_hist = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.lit("1990-01-01").cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        updates = (
+            orders.filter(F.col("o_orderkey") % 97 == 0)
+            .select(
+                "o_orderkey",
+                F.lit("U").alias("o_orderstatus"),
+                (
+                    F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100
+                ).alias("o_totalprice"),
+                eff.alias("valid_from"),
+            )
+            .unionByName(
+                orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                    (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
+                    F.lit("N").alias("o_orderstatus"),
+                    F.lit(42.0).alias("o_totalprice"),
+                    eff.alias("valid_from"),
+                )
+            )
+        )
+        commit_mod.table_init(base_hist, path, "o_orderkey")
+        commit_mod.table_merge(spark, path, updates, scd2_apply)
+        hist_read = commit_mod.table_read(spark, path)
+    else:
+        hist = scd2_history(orders)
+        hist_read = spark.read.parquet(_staged_overwrite(hist, path))
     return (
-        spark.read.parquet(read_path)
+        hist_read
         .groupBy("o_orderstatus", "is_current")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

@@ -211,6 +211,35 @@ def test_ordered_registry_frontloads_least_recently_attested():
     assert tiers == sorted(tiers), "attestation rounds must be non-decreasing"
 
 
+def test_stalest_tier_fully_leads_rotation_after_pins():
+    """VERDICT r15 #1 regression: the r15 money-sum pin burst displaced
+    three r11-attested queries out of the K=50 sample, aging them one
+    round past the R=4 freshness window.  Ordering discipline: the
+    ENTIRE minimum-attestation tier must occupy the first slots after
+    any active pins — never interleaved with fresher tiers — so a
+    single driver round always restores the attestation floor (three
+    such queries sit at positions 0-2 for round 16)."""
+    from pyspark_analytics_library_spark.registry import (
+        _active_pins,
+        _driver_attestation_rounds,
+        _driver_green_rows,
+        ordered_registry,
+    )
+
+    attested = _driver_attestation_rounds()
+    pinned = _active_pins(_driver_green_rows())
+    order = list(ordered_registry())
+    floor = min(attested.get(n, 0) for n in order)
+    min_tier = {
+        n for n in order if attested.get(n, 0) == floor and n not in pinned
+    }
+    lead = order[len(pinned) : len(pinned) + len(min_tier)]
+    assert set(lead) == min_tier, (
+        f"stalest tier (round {floor}) not contiguous at the front: "
+        f"{sorted(min_tier - set(lead))} displaced"
+    )
+
+
 def test_driver_prefix_starves_recently_attested_queries():
     """VERDICT r5 #4: the 50-query driver sample must never re-spend a
     slot on a query attested in either of the two most recent rounds

@@ -279,3 +279,293 @@ def test_insert_key_offset_floors_at_fixture_scale_and_grows_past_it(spark):
     assert _insert_key_offset(big) == 10_000_000_000
     edge = spark.createDataFrame([(99_999_999,)], "o_orderkey long")
     assert _insert_key_offset(edge) == 100_000_000
+
+
+# ---------------------------------------------------------------------------
+# v2 per-FILE manifests (VERDICT r15 #2): incremental merge commits.
+# ---------------------------------------------------------------------------
+
+
+def _v2_base(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 7).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 1.5).alias("o_totalprice"),
+    )
+
+
+def _v2_rows(spark, target):
+    return sorted(
+        tuple(r) for r in commit_mod.table_read(spark, str(target)).collect()
+    )
+
+
+def test_table_merge_rewrites_strict_subset_of_files(spark, tmp_path):
+    """The VERDICT r15 #2 'done' criterion: a merge whose update batch
+    touches few buckets must rewrite ONLY those buckets' files — every
+    untouched data file carried into the new manifest BY REFERENCE
+    (identical path) — and the merged content must equal the
+    whole-table merge."""
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=8)
+    man1 = commit_mod._load_manifest(target)
+    files1 = {e["path"]: e["bucket"] for e in man1["files"]}
+    assert len(files1) == 8, "one file per non-empty bucket at this size"
+
+    # An update batch confined to ONE bucket: take three keys that all
+    # hash to the same bucket id (computed with the table's own expr).
+    keyed = (
+        base.select(
+            "o_orderkey", commit_mod._bucket_expr("o_orderkey", 8).alias("b")
+        )
+        .filter(F.col("b") == 3)
+        .limit(3)
+        .collect()
+    )
+    keys = [r["o_orderkey"] for r in keyed]
+    updates = base.filter(F.col("o_orderkey").isin(keys)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    stats = commit_mod.table_merge(spark, target, updates, scd1_merged)
+    assert stats["touched_buckets"] == [3]
+    assert stats["rewritten_files"] == 1
+    assert stats["carried_files"] == 7
+
+    man2 = commit_mod._load_manifest(target)
+    files2 = {e["path"]: e["bucket"] for e in man2["files"]}
+    carried = set(files1) & set(files2)
+    assert len(carried) == 7, "untouched files must be carried by path"
+    assert all(files1[p] != 3 for p in carried)
+    new_files = set(files2) - set(files1)
+    assert new_files and all(files2[p] == 3 for p in new_files)
+
+    # Content equivalence vs the whole-table merge.
+    expect = sorted(tuple(r) for r in scd1_merged(base, updates).collect())
+    assert _v2_rows(spark, target) == expect
+
+
+def test_table_merge_crash_before_pointer_swap_keeps_old_manifest_live(
+    spark, tmp_path, monkeypatch
+):
+    """Same crash matrix as v1: a failure after the merge's data files
+    are written but before the pointer swap must leave readers on the
+    complete OLD file set."""
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    before = _v2_rows(spark, target)
+
+    real_swap = commit_mod._swap_pointer
+
+    def exploding_swap(t, g):
+        raise OSError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(commit_mod, "_swap_pointer", exploding_swap)
+    updates = base.limit(5).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        commit_mod.table_merge(spark, target, updates, scd1_merged)
+    monkeypatch.setattr(commit_mod, "_swap_pointer", real_swap)
+    assert _v2_rows(spark, target) == before
+    # And the interrupted commit replays cleanly afterwards.
+    commit_mod.table_merge(spark, target, updates, scd1_merged)
+    assert _v2_rows(spark, target) != before
+
+
+def test_table_merge_performs_no_directory_rename(spark, tmp_path, monkeypatch):
+    """v2 inherits v1's object-store contract: the ONLY shared-state
+    mutation is the single pointer-file os.replace — no directory
+    rename anywhere in init or merge."""
+    import os as os_mod
+
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+
+    def no_rename(*a, **k):
+        raise AssertionError("v2 manifest commit must not rename directories")
+
+    real_replace = os_mod.replace
+
+    def file_only_replace(src, dst):
+        assert os_mod.path.isfile(src), "os.replace allowed on files only"
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os_mod, "rename", no_rename)
+    monkeypatch.setattr(os_mod, "replace", file_only_replace)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    updates = base.limit(3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge(spark, target, updates, scd1_merged)
+    assert len(_v2_rows(spark, target)) == 400
+
+
+def test_v2_prunes_superseded_manifests_and_unreferenced_files(spark, tmp_path):
+    """After KEEP_GENERATIONS commits beyond it, an old manifest and
+    any data file no kept manifest references are reclaimed; files the
+    live manifest references survive every prune."""
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = tmp_path / "t"
+    base = _v2_base(spark)
+    commit_mod.table_init(base, str(target), "o_orderkey", n_buckets=4)
+    first_files = {e["path"] for e in commit_mod._load_manifest(str(target))["files"]}
+    for i in range(3):
+        updates = base.limit(2 + i).select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(float(i)).alias("o_totalprice"),
+        )
+        commit_mod.table_merge(spark, str(target), updates, scd1_merged)
+    manifests = [p.name for p in target.glob("manifest-*.json")]
+    assert len(manifests) == commit_mod.KEEP_GENERATIONS
+    live = commit_mod._load_manifest(str(target))
+    for e in live["files"]:
+        assert (target / e["path"]).exists()
+    # Files superseded in every kept manifest are gone from disk.
+    kept_refs = set()
+    for name in manifests:
+        import json
+
+        kept_refs |= {
+            e["path"] for e in json.load(open(target / name))["files"]
+        }
+    on_disk = {
+        str(p.relative_to(target)).replace("\\", "/")
+        for p in target.rglob("*.parquet")
+    }
+    assert on_disk == kept_refs
+    assert first_files - kept_refs, "some seed files should have been superseded"
+
+
+def test_table_merge_refuses_rekeying_merge_fn(spark, tmp_path):
+    """A merge_fn that moves rows into buckets the update batch never
+    touched would silently shadow carried files — the commit must
+    refuse before the pointer swap."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=8)
+    before = _v2_rows(spark, target)
+    keyed = (
+        base.select(
+            "o_orderkey", commit_mod._bucket_expr("o_orderkey", 8).alias("b")
+        )
+        .filter(F.col("b") == 1)
+        .limit(1)
+        .collect()
+    )
+    updates = base.filter(F.col("o_orderkey") == keyed[0]["o_orderkey"])
+
+    def rekeying_fn(base_slice, upd):
+        return base_slice.unionByName(upd).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 1_000_000
+        )
+
+    with pytest.raises(ValueError, match="untouched buckets"):
+        commit_mod.table_merge(spark, target, updates, rekeying_fn)
+    assert _v2_rows(spark, target) == before
+
+
+def test_scd2_apply_on_slice_equals_whole_table_history(spark):
+    """scd2_apply over an all-open base must reproduce scd2_history's
+    result exactly, and applying it per bucket-slice must union to the
+    whole-table answer — the soundness argument table_merge relies on."""
+    from pyspark_analytics_library_spark.sources.scan_queries import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    orders = spark.range(200).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 5).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 2.0).alias("o_totalprice"),
+        F.lit("1995-06-01").cast("date").alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    expect = sorted(
+        tuple(r)
+        for r in scd2_history(orders)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .collect()
+    )
+    eff = F.lit("1998-12-01").cast("date")
+    base_hist = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    from pyspark_analytics_library_spark.sources.scan_queries import (
+        _insert_key_offset,
+    )
+
+    offset = _insert_key_offset(orders)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
+                "o_totalprice"
+            ),
+            eff.alias("valid_from"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                eff.alias("valid_from"),
+            )
+        )
+    )
+    got = sorted(tuple(r) for r in scd2_apply(base_hist, updates).collect())
+    assert got == expect
+
+    # Slice decomposition: per-bucket applies union to the same rows.
+    n_buckets = 4
+    b_base = base_hist.withColumn(
+        "_b", commit_mod._bucket_expr("o_orderkey", n_buckets)
+    )
+    b_upd = updates.withColumn(
+        "_b", commit_mod._bucket_expr("o_orderkey", n_buckets)
+    )
+    pieces = []
+    for b in range(n_buckets):
+        pieces += [
+            tuple(r)
+            for r in scd2_apply(
+                b_base.filter(F.col("_b") == b).drop("_b"),
+                b_upd.filter(F.col("_b") == b).drop("_b"),
+            ).collect()
+        ]
+    assert sorted(pieces) == expect

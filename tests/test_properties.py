@@ -643,6 +643,64 @@ def test_triangle_dense_dispatch_bounded_by_edges(spark, monkeypatch):
     assert sparse_row == expected
 
 
+def test_exact_quantile_guard_fails_fast_past_distinct_cap(spark):
+    """VERDICT r15 #2: agg_quantile must refuse with an actionable
+    error naming the sketch path — not a raw JVM OOM — when the value
+    column's distinct count exceeds the conf cap (the round-15 sf≈1
+    sweep measured percentile() OOM-killing a 1 g JVM at 6 M distinct-
+    heavy rows).  The fixture trips the guard under a tiny cap; the
+    guard=false switch bypasses the probe entirely."""
+    import pytest
+
+    from pyspark_analytics_library_spark.registry import REGISTRY
+
+    fn = REGISTRY["agg_quantile"].fn
+    spark.conf.set("spark.analytics.quantile.maxDistinctPerColumn", "10")
+    try:
+        with pytest.raises(ValueError, match="agg_approx_quantile"):
+            fn(spark, TEST_SF_DIR)
+        # Bypass switch: plan must build (and run) with the probe off.
+        spark.conf.set("spark.analytics.quantile.guard", "false")
+        assert fn(spark, TEST_SF_DIR).count() > 0
+    finally:
+        spark.conf.unset("spark.analytics.quantile.maxDistinctPerColumn")
+        spark.conf.unset("spark.analytics.quantile.guard")
+    # Stock caps: the fixture is far under 5e6 distinct — normal path.
+    assert fn(spark, TEST_SF_DIR).count() > 0
+
+
+def test_triangle_census_fails_fast_past_work_cap(spark, tmp_path):
+    """VERDICT r15 #3: a graph whose projected adjacency-intersection
+    work exceeds spark.analytics.graph.sparseMaxWork must raise an
+    actionable error BEFORE any scratch write or census job — the
+    ledgered sf≈1 worst case (53%-dense 15k-vertex graph) previously
+    ran an intractable census for hours.  K6 forced onto the sparse
+    path under a tiny work cap trips the guard; under stock caps the
+    same sparse census completes (pinned by the dispatch tests)."""
+    from itertools import combinations
+
+    import pytest
+
+    from pyspark_analytics_library_spark.operators.graph import triangle_census
+
+    k6 = spark.createDataFrame(
+        [(u, v) for u, v in combinations(range(1, 7), 2)], "u long, v long"
+    )
+    spark.conf.set("spark.analytics.scratchDir", str(tmp_path / "scratch"))
+    spark.conf.set("spark.analytics.graph.denseMatmulMaxEdges", "1")
+    spark.conf.set("spark.analytics.graph.sparseMaxWork", "10")
+    try:
+        with pytest.raises(ValueError, match="sparseMaxWork"):
+            triangle_census(spark, k6)
+        # Nothing may have been written before the refusal.
+        scratch = tmp_path / "scratch"
+        assert not scratch.exists() or not any(scratch.rglob("*.parquet"))
+    finally:
+        spark.conf.unset("spark.analytics.graph.sparseMaxWork")
+        spark.conf.unset("spark.analytics.graph.denseMatmulMaxEdges")
+        spark.conf.unset("spark.analytics.scratchDir")
+
+
 def test_approx_quantile_close_to_exact(spark):
     """percentile_approx must estimate, not just run: within 10% of the
     exact per-group median (VERDICT r4 task #7)."""
@@ -1131,17 +1189,24 @@ def test_money_sum_layout_invariant_and_decimal_exact(spark):
     """§5.3 rule 12 pinned red-side: money_sum must be bit-identical
     across partition layouts (decimal addition is associative — the
     whole point) AND equal the exact Python-Decimal reference sum of
-    the per-row 8-dp quantizations, so the Spark spelling can never
-    silently degrade back to order-sensitive double accumulation."""
+    the per-row operand-decimal products, so the Spark spelling can
+    never silently degrade back to order-sensitive double
+    accumulation (or back to the r15 product-cast form, whose
+    double→decimal tie behavior diverged between engines)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark.sql import functions as F
 
-    from pyspark_analytics_library_spark.operators.aggregates import money_sum
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        money,
+        money_sum,
+        one,
+        rate,
+    )
     from pyspark_analytics_library_spark.sources.io import load_tables
 
     li = load_tables(spark, TEST_SF_DIR)["lineitem"]
-    expr = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    expr = money("l_extendedprice") * (one() - rate("l_discount"))
 
     def run(df):
         return df.agg(money_sum(expr).alias("s")).collect()[0]["s"]
@@ -1151,11 +1216,81 @@ def test_money_sum_layout_invariant_and_decimal_exact(spark):
     assert run(li.coalesce(1)) == base
     assert run(li.orderBy(F.col("l_orderkey").desc())) == base
 
-    # Exact reference: quantize each row's double product to 8 dp
-    # HALF_UP (the documented cast semantics), sum exactly, round 4.
-    rows = li.select(expr.alias("x")).collect()
-    q8 = Decimal("0.00000001")
+    # Exact reference: quantize each OPERAND to its source scale (the
+    # documented rule-12 semantics — 2-dp money, 2-dp rate), multiply
+    # exactly in Decimal, sum exactly, round 4 HALF_UP (both engines
+    # round decimals half-away-from-zero).
+    rows = li.select("l_extendedprice", "l_discount").collect()
+    q2 = Decimal("0.01")
     ref = sum(
-        Decimal(repr(r["x"])).quantize(q8, ROUND_HALF_UP) for r in rows
+        Decimal(repr(r["l_extendedprice"])).quantize(q2, ROUND_HALF_UP)
+        * (1 - Decimal(repr(r["l_discount"])).quantize(q2, ROUND_HALF_UP))
+        for r in rows
     ).quantize(Decimal("0.0001"), ROUND_HALF_UP)
     assert base == float(ref)
+
+
+def test_money_decimal_cross_engine_exact(spark, oracle):
+    """ADVICE r15 resolved: the rule-12 money expression must agree
+    PER ROW between Spark and DuckDB — not just in aggregate.  The r15
+    product-cast spelling failed this (cast ties on the computed
+    double diverged on ~6e-4 of rows by ±1e-8); the operand-decimal
+    respelling is exact, so every row must match bit-for-bit.  A
+    future regression in either engine's double→decimal cast of 2-dp
+    source data (the one remaining cross-engine cast in the chain)
+    would surface here, attributed to this class."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        money,
+        one,
+        rate,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    li = load_tables(spark, TEST_SF_DIR)["lineitem"]
+    sdf = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (
+                money("l_extendedprice")
+                * (one() - rate("l_discount"))
+                * (one() + rate("l_tax"))
+            )
+            .cast("string")
+            .alias("charge"),
+        )
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    odf = (
+        oracle.execute(
+            f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))
+                        AS VARCHAR) AS charge
+            FROM '{TEST_SF_DIR}/lineitem.parquet'
+            ORDER BY l_orderkey, l_linenumber
+            """
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert len(sdf) == len(odf)
+    # Compare as Decimals: engines may render trailing zeros at
+    # different declared scales (Spark DECIMAL(22,6) vs DuckDB's
+    # width-sum type), but the VALUES must be identical on every row.
+    from decimal import Decimal
+
+    mismatch = [
+        (int(a_k), int(a_n), a, b)
+        for a_k, a_n, a, b in zip(
+            sdf["l_orderkey"], sdf["l_linenumber"], sdf["charge"], odf["charge"]
+        )
+        if Decimal(a) != Decimal(b)
+    ]
+    assert mismatch == [], f"{len(mismatch)} per-row divergences, first: {mismatch[:3]}"

@@ -453,3 +453,52 @@ def _prune_manifests(target: str, current: str) -> None:
                 pass
     except OSError:
         pass
+
+
+def _files_for_keys(spark, man: dict, keys: list) -> list[dict]:
+    """Manifest entries whose bucket can contain one of ``keys`` —
+    the read-side payoff of the bucketed layout: bucket membership is
+    the same pmod(xxhash64(key), n) arithmetic the writer used, so a
+    point lookup needs no index, just the manifest.  Evaluated with
+    one Spark expression over a keys-sized local frame (xxhash64 is a
+    JVM function; re-implementing it Python-side would be a second
+    source of truth that could silently drift)."""
+    from pyspark.sql.types import StructField, StructType
+    import json as _json
+
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    key_field = next(f for f in schema.fields if f.name == man["bucket_key"])
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys], StructType([StructField(key_field.name, key_field.dataType)])
+    )
+    wanted = {
+        r["b"]
+        for r in kdf.select(
+            _bucket_expr(man["bucket_key"], int(man["n_buckets"])).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    return [e for e in man["files"] if e["bucket"] in wanted]
+
+
+def table_lookup(spark, target: str, keys: list) -> DataFrame:
+    """Point lookup: rows whose merge key is in ``keys``, scanning ONLY
+    the files of the keys' buckets.  At 100 TB / 32k buckets a lookup
+    touches a few GB instead of the table; the residual filter inside
+    the scanned buckets is an ordinary pushed-down parquet predicate.
+    Returns an empty (correctly-typed) frame when no bucket matches."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    man = _load_manifest(target)
+    entries = _files_for_keys(spark, man, keys)
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    if not entries:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(target, e["path"]) for e in entries]
+    )
+    return df.filter(F.col(man["bucket_key"]).isin(keys))

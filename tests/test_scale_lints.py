@@ -56,9 +56,10 @@ WHITELIST = {
     # parquet column stats make the scan metadata-speed) shared by both
     # merge queries, ADVICE r13's collision-free insert-key derivation
     "sources/scan_queries.py": 1,
-    # table_merge's touched-bucket probe: distinct bucket ids of the
-    # update batch — ≤ n_buckets ints by construction (VERDICT r15 #2)
-    "sources/commit.py": 1,
+    # table_merge's touched-bucket probe and _files_for_keys' lookup
+    # bucket derivation: both distinct bucket-id collects, ≤ n_buckets
+    # ints by construction (VERDICT r15 #2)
+    "sources/commit.py": 2,
 }
 
 #: every DataFrame → driver materialization spelling, not just the two

@@ -598,3 +598,32 @@ def test_table_lookup_scans_only_matching_buckets(spark, tmp_path):
     # Keys absent from the table: bucket files are scanned but the
     # residual filter returns nothing; type-stable empty frame either way.
     assert commit_mod.table_lookup(spark, target, [10**9]).count() == 0
+
+
+def test_table_merge_supports_row_deletes(spark, tmp_path):
+    """merge_fn defines the merge semantics, so a DELETE (training-data
+    pipelines' right-to-be-forgotten case) is just a merge_fn that
+    drops the keys — still rewriting only the touched buckets.  The
+    'update batch' is the delete-key list; carried buckets keep their
+    rows untouched by construction."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=8)
+
+    doomed = [3, 7, 11]
+    deletes = base.filter(F.col("o_orderkey").isin(doomed))
+
+    def delete_fn(base_slice, del_rows):
+        return base_slice.join(
+            del_rows.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+
+    stats = commit_mod.table_merge(spark, target, deletes, delete_fn)
+    assert stats["carried_files"] > 0, "deletes must not rewrite the table"
+    remaining = commit_mod.table_read(spark, target)
+    assert remaining.count() == 400 - len(doomed)
+    assert (
+        remaining.filter(F.col("o_orderkey").isin(doomed)).count() == 0
+    ), "deleted keys must be gone"
+    # And gone from a bucket-pruned lookup too (same manifest view).
+    assert commit_mod.table_lookup(spark, target, doomed).count() == 0

@@ -255,9 +255,38 @@ def _write_bucketed(df: DataFrame, target: str, key: str, n_buckets: int) -> lis
     return entries
 
 
-def _commit_manifest(target: str, manifest: dict) -> str:
+class ConcurrentCommitError(RuntimeError):
+    """The table's live manifest moved between a merge's read of it and
+    its commit point — another writer committed in between.  Committing
+    anyway would silently DROP the other writer's changes (the new
+    manifest's carried-file list was derived from a superseded state).
+    The merge's data files are orphans (pruned later); the caller
+    should re-read and retry the merge — classic optimistic
+    concurrency, the same protocol lakehouse formats run.
+
+    Honesty note: on a local FS this check-then-swap has a residual
+    race window of microseconds (no portable compare-and-swap over
+    ``os.replace``); it reliably catches real interleavings — a
+    concurrent commit that lands any time before the final pointer
+    write — which is the lost-update class that matters.  An
+    object-store deployment closes the window completely with a
+    conditional PUT (ETag/If-Match precondition) on ``_CURRENT``,
+    which is exactly where this check sits."""
+
+
+def _live_manifest_name(target: str) -> str:
+    """Basename of the live manifest file (pointer contents)."""
+    return os.path.basename(resolve_table(target))
+
+
+def _commit_manifest(
+    target: str, manifest: dict, expect_current: str | None = None
+) -> str:
     """Write a new manifest file and atomically repoint ``_CURRENT`` at
-    it — the v2 commit point, same one-small-file swap as v1."""
+    it — the v2 commit point, same one-small-file swap as v1.  With
+    ``expect_current`` set, refuse (``ConcurrentCommitError``) if the
+    pointer no longer names that manifest — see the exception class for
+    the optimistic-concurrency contract."""
     import json
 
     name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:12]}.json"
@@ -265,6 +294,15 @@ def _commit_manifest(target: str, manifest: dict) -> str:
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(target, name))
+    if expect_current is not None and _live_manifest_name(target) != expect_current:
+        try:
+            os.remove(os.path.join(target, name))
+        except OSError:
+            pass
+        raise ConcurrentCommitError(
+            f"{target}: live manifest moved off {expect_current!r} during "
+            "the merge — another writer committed; re-read and retry"
+        )
     _swap_pointer(target, name)
     _prune_manifests(target, name)
     return name
@@ -355,9 +393,17 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
     Returns commit stats — {"touched_buckets", "rewritten_files",
     "carried_files", "new_files"} — so callers and tests can assert
     the strict-subset rewrite property instead of trusting it.
+
+    Concurrency: optimistic — the commit refuses
+    (:class:`ConcurrentCommitError`) if another writer moved the live
+    manifest between this merge's read of it and its commit point,
+    because the carried-file list would then describe a superseded
+    state and committing would silently drop the other writer's
+    changes.  Catch it, re-read, retry.
     """
     from pyspark.sql import functions as F
 
+    base_name = _live_manifest_name(target)
     man = _load_manifest(target)
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
     # One tiny collect: ≤ n_buckets ints — never data-sized.
@@ -394,7 +440,7 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             "slice (did merge_fn rekey rows?)"
         )
     manifest = dict(man, files=carried + entries)
-    _commit_manifest(target, manifest)
+    _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "touched_buckets": touched,
         "rewritten_files": len(rewritten),

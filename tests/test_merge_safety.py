@@ -627,3 +627,70 @@ def test_table_merge_supports_row_deletes(spark, tmp_path):
     ), "deleted keys must be gone"
     # And gone from a bucket-pruned lookup too (same manifest view).
     assert commit_mod.table_lookup(spark, target, doomed).count() == 0
+
+
+def test_table_merge_detects_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency: a writer that committed between this
+    merge's manifest read and its commit point must NOT be silently
+    overwritten (the merge's carried-file list describes a superseded
+    state).  merge_fn runs exactly in that window, so it doubles as
+    the deterministic interleave hook."""
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = str(tmp_path / "t")
+    commit_mod.table_init(_v2_base(spark), target, "o_orderkey", n_buckets=8)
+
+    def racing_fn(base_slice, upd):
+        # Competing writer lands a full re-seed while the merge is
+        # in flight.
+        commit_mod.table_init(
+            _v2_base(spark, 100), target, "o_orderkey", n_buckets=8
+        )
+        return scd1_merged(base_slice, upd)
+
+    updates = _v2_base(spark).limit(3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    with pytest.raises(commit_mod.ConcurrentCommitError, match="retry"):
+        commit_mod.table_merge(spark, target, updates, racing_fn)
+    # The competing writer's commit is live and intact — nothing lost.
+    assert commit_mod.table_read(spark, target).count() == 100
+    # The refused merge's manifest was not left behind as a live file;
+    # a follow-up retry (re-read + merge) succeeds against the new state.
+    stats = commit_mod.table_merge(spark, target, updates, scd1_merged)
+    assert commit_mod.table_read(spark, target).count() == 100
+    assert stats["new_files"] >= 1
+
+
+def test_bucket_routing_is_version_stable(spark):
+    """Canary: manifests PERSIST bucket assignments across sessions, so
+    the pmod(xxhash64(key), n) routing must be bit-stable across Spark
+    upgrades — a changed hash would silently route merges and lookups
+    to the wrong files of every existing v2 table.  Values pinned from
+    Spark 4.1.2; if this ever fails, v2 needs a manifest-recorded hash
+    version + migration path BEFORE shipping on the new Spark."""
+    pinned = {
+        0: (12, 108),
+        1: (2, 50),
+        2: (13, 205),
+        5: (5, 69),
+        97: (10, 26),
+        101: (3, 51),
+        12345: (14, 94),
+        10_000_000: (12, 92),
+    }
+    kdf = spark.createDataFrame(
+        [(k,) for k in pinned], "o_orderkey long"
+    )
+    got = {
+        r["o_orderkey"]: (r["b16"], r["b256"])
+        for r in kdf.select(
+            "o_orderkey",
+            commit_mod._bucket_expr("o_orderkey", 16).alias("b16"),
+            commit_mod._bucket_expr("o_orderkey", 256).alias("b256"),
+        ).collect()
+    }
+    assert got == pinned

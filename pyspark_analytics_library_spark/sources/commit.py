@@ -360,15 +360,51 @@ def table_init(
     return {"files": len(entries), "n_buckets": n_buckets}
 
 
-def table_read(spark, target: str) -> DataFrame:
-    """Scan the live manifest's file list — the v2 reader.  Explicit
-    leaf paths (not the data/ root): a reader never globs, so orphaned
-    files from an in-flight or crashed commit are invisible to it."""
+def table_history(target: str) -> list[str]:
+    """Manifest names retained for ``target``, newest first, live
+    manifest first — the time-travel surface.  Bounded by
+    :data:`KEEP_GENERATIONS` (2 = live + one superseded: rollback and
+    read-consistency grace, the same honest retention v1 documents; a
+    production deployment widens it to its time-travel SLA)."""
+    live = _live_manifest_name(target)
+    others = sorted(
+        (
+            n
+            for n in os.listdir(target)
+            if n.startswith(MANIFEST_PREFIX) and n != live
+        ),
+        key=lambda n: os.path.getmtime(os.path.join(target, n)),
+        reverse=True,
+    )
+    return [live] + others
+
+
+def table_read(spark, target: str, at: str | None = None) -> DataFrame:
+    """Scan a manifest's file list — the v2 reader.  Explicit leaf
+    paths (not the data/ root): a reader never globs, so orphaned
+    files from an in-flight or crashed commit are invisible to it.
+
+    ``at`` names a retained manifest from :func:`table_history` for a
+    time-travel read (the previous generation's files are kept intact
+    until pruned; its manifest still lists exactly them).  Default:
+    the live manifest."""
     import json as _json
 
     from pyspark.sql.types import StructType
 
-    man = _load_manifest(target)
+    if at is None:
+        man = _load_manifest(target)
+    else:
+        if at != os.path.basename(at) or not at.startswith(MANIFEST_PREFIX):
+            raise ValueError(f"not a manifest name: {at!r}")
+        path = os.path.join(target, at)
+        if not os.path.exists(path):
+            raise ValueError(
+                f"manifest {at!r} not retained in {target} "
+                f"(history: {table_history(target)})"
+            )
+        with open(path, encoding="utf-8") as f:
+            man = _json.load(f)
     paths = [os.path.join(target, e["path"]) for e in man["files"]]
     if not paths:
         return spark.createDataFrame(

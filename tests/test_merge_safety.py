@@ -694,3 +694,40 @@ def test_bucket_routing_is_version_stable(spark):
         ).collect()
     }
     assert got == pinned
+
+
+def test_table_history_time_travel_read(spark, tmp_path):
+    """KEEP_GENERATIONS retains the superseded manifest AND its files,
+    so reading `at=` the previous manifest returns the exact pre-merge
+    table — rollback/time-travel within the retention window.  A
+    manifest pruned out of the window raises with the live history."""
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    gen0 = commit_mod._live_manifest_name(target)
+    before = _v2_rows(spark, target)
+
+    updates = base.limit(4).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge(spark, target, updates, scd1_merged)
+    hist = commit_mod.table_history(target)
+    assert len(hist) == commit_mod.KEEP_GENERATIONS and hist[1] == gen0
+    after = _v2_rows(spark, target)
+    assert after != before
+    # Time travel: the superseded generation reads back exactly.
+    old = sorted(
+        tuple(r)
+        for r in commit_mod.table_read(spark, target, at=gen0).collect()
+    )
+    assert old == before
+
+    # One more commit prunes gen0 out of the window → clear error.
+    commit_mod.table_merge(spark, target, updates, scd1_merged)
+    with pytest.raises(ValueError, match="not retained"):
+        commit_mod.table_read(spark, target, at=gen0)

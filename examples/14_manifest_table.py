@@ -49,6 +49,15 @@ def main(spark, sf_dir):
         # Bucket-pruned point lookup: scans only the keys' buckets.
         some = [r["o_orderkey"] for r in orders.offset(10).limit(8).collect()]
         cm.table_lookup(spark, target, some).show(8, truncate=False)
+
+        # Time travel: the superseded generation stays readable until
+        # pruned out of the KEEP_GENERATIONS window.
+        history = cm.table_history(target)
+        print("history:", history)
+        print(
+            "previous generation rows:",
+            cm.table_read(spark, target, at=history[1]).count(),
+        )
         final = cm.table_read(spark, target)
         print("rows:", final.count())
         # Return an eager summary: the temp table dir dies with this

@@ -479,49 +479,74 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Estimated bytes per exact-percentile hash-map entry (double key +
+#: long count + OpenHashMap load-factor/array overhead), deliberately
+#: conservative.
+_QUANTILE_BYTES_PER_ENTRY = 64
+
+
 def exact_quantile_guard(
     spark: SparkSession, df: DataFrame, cols: list[str]
 ) -> None:
     """Fail fast before Spark's exact percentile state OOMs the JVM
     (VERDICT r15 #2).
 
-    ``percentile()``/``median()`` accumulate an open hash map of EVERY
-    distinct value of the aggregated column per task — O(distinct)
-    memory that the round-15 sf≈1 sweep measured OOM-killing a 1 g JVM
-    at 6 M distinct-heavy rows (SCALE.md), with a raw
-    ``java.lang.OutOfMemoryError`` as the only diagnostic.  This guard
-    spends one cheap HLL aggregate (approx_count_distinct, ±5 %,
-    fixed-size sketch state — the same job shape at any input size) and
-    raises an ACTIONABLE error naming the sketch path instead.
+    ``percentile()``/``median()`` accumulate an open hash map of every
+    distinct value SEEN BY EACH TASK, so concurrent single-JVM state is
+    ~``min(distinct × parallelism, total_rows) × 64 B`` — each task's
+    map is bounded both by the global distinct count and by the rows it
+    scans.  Round-16 calibration against the ledgered r15 OOM (SCALE.md
+    sf≈1 sweep): lineitem prices are ~97 % unique (583 k distinct at
+    sf0.1), so at 6 M rows / local[8] the estimate is
+    min(583 k × 8, 6 M) × 64 ≈ 300 MB of concurrent map state — which
+    killed a 1 g JVM with a raw ``java.lang.OutOfMemoryError`` — while
+    sf0.1's 600 k rows estimate ~38 MB and run fine on the same heap.
+    (A distinct-count cap alone misses this: the distinct count is the
+    SAME at both scales; the rows-per-task term is what grows.)
 
-    Confs: ``spark.analytics.quantile.maxDistinctPerColumn`` (default
-    5e6 ≈ hundreds of MB of per-task hash-map state — past it a 1 g
-    executor is in OOM territory, and even large executors pay an
-    unbounded-state risk that percentile_approx avoids outright) and
-    ``spark.analytics.quantile.guard`` = ``false`` to skip the probe
-    job entirely (the describe.selfCheck pattern) when the caller has
-    sized executors for a known value domain.
+    The guard spends ONE cheap aggregate (count + HLL
+    approx_count_distinct per column, fixed-size sketch state at any
+    input size) and raises an ACTIONABLE error naming the sketch path
+    when the estimate exceeds ``spark.analytics.quantile.
+    maxLocalStateBytes`` (default 256 MB ≈ the OOM cliff of a small
+    1 g executor with the merge phase's transient doubling; size it to
+    roughly a quarter of executor heap).  The estimate models ONE JVM
+    under local-mode assumptions; on a multi-executor cluster state
+    spreads across JVMs, so the default is conservative there — raise
+    the cap with executor memory.  ``spark.analytics.quantile.guard``
+    = ``false`` skips the probe job entirely (the describe.selfCheck
+    pattern) when the caller has sized heaps for a known value domain.
     """
     if spark.conf.get("spark.analytics.quantile.guard", "true").lower() != "true":
         return
     cap = int(
-        spark.conf.get("spark.analytics.quantile.maxDistinctPerColumn", "5000000")
+        spark.conf.get(
+            "spark.analytics.quantile.maxLocalStateBytes", str(256 * 1024**2)
+        )
     )
     probe = df.agg(
-        *[F.approx_count_distinct(c, rsd=0.05).alias(c) for c in cols]
+        F.count(F.lit(1)).alias("_n"),
+        *[F.approx_count_distinct(c, rsd=0.05).alias(c) for c in cols],
     ).collect()[0]
-    over = {c: probe[c] for c in cols if probe[c] > cap}
+    n_rows = probe["_n"]
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    est = {
+        c: min(probe[c] * par, n_rows) * _QUANTILE_BYTES_PER_ENTRY for c in cols
+    }
+    over = {c: b for c, b in est.items() if b > cap}
     if over:
+        detail = ", ".join(f"{c}≈{b / 1e6:.0f} MB" for c, b in over.items())
         raise ValueError(
-            "agg_quantile: exact percentile/median holds every distinct value "
-            f"in per-task memory, and column(s) {over} exceed "
-            f"spark.analytics.quantile.maxDistinctPerColumn={cap} "
-            "(measured: a 1 g JVM OOMs near 6 M distinct values — SCALE.md "
-            "round-15 sf≈1 sweep).  Use the sketch path instead "
-            "(agg_approx_quantile / F.percentile_approx: fixed-size state at "
-            "any scale), raise the cap after sizing executor memory for "
-            "~50 bytes per distinct value per task, or set "
-            "spark.analytics.quantile.guard=false to bypass this probe."
+            "agg_quantile: exact percentile/median would hold "
+            f"~min(distinct × {par} tasks, {n_rows} rows) × "
+            f"{_QUANTILE_BYTES_PER_ENTRY} B of concurrent hash-map state "
+            f"({detail}), over spark.analytics.quantile.maxLocalStateBytes="
+            f"{cap} (calibration: ~300 MB estimated state OOM-killed a 1 g "
+            "JVM — SCALE.md round-15 sf≈1 sweep).  Use the sketch path "
+            "instead (agg_approx_quantile / F.percentile_approx: fixed-size "
+            "state at any scale), raise the cap in step with executor "
+            "memory, or set spark.analytics.quantile.guard=false to bypass "
+            "this probe."
         )
 
 

@@ -645,17 +645,19 @@ def test_triangle_dense_dispatch_bounded_by_edges(spark, monkeypatch):
 
 def test_exact_quantile_guard_fails_fast_past_distinct_cap(spark):
     """VERDICT r15 #2: agg_quantile must refuse with an actionable
-    error naming the sketch path — not a raw JVM OOM — when the value
-    column's distinct count exceeds the conf cap (the round-15 sf≈1
-    sweep measured percentile() OOM-killing a 1 g JVM at 6 M distinct-
-    heavy rows).  The fixture trips the guard under a tiny cap; the
-    guard=false switch bypasses the probe entirely."""
+    error naming the sketch path — not a raw JVM OOM — when the
+    estimated concurrent hash-map state (min(distinct × parallelism,
+    rows) × 64 B — the r16 calibration that actually reproduces the
+    ledgered sf≈1 OOM, which a distinct-only cap misses because the
+    distinct count is scale-invariant there) exceeds the conf cap.
+    The fixture trips the guard under a tiny cap; the guard=false
+    switch bypasses the probe entirely."""
     import pytest
 
     from pyspark_analytics_library_spark.registry import REGISTRY
 
     fn = REGISTRY["agg_quantile"].fn
-    spark.conf.set("spark.analytics.quantile.maxDistinctPerColumn", "10")
+    spark.conf.set("spark.analytics.quantile.maxLocalStateBytes", "1024")
     try:
         with pytest.raises(ValueError, match="agg_approx_quantile"):
             fn(spark, TEST_SF_DIR)
@@ -663,10 +665,25 @@ def test_exact_quantile_guard_fails_fast_past_distinct_cap(spark):
         spark.conf.set("spark.analytics.quantile.guard", "false")
         assert fn(spark, TEST_SF_DIR).count() > 0
     finally:
-        spark.conf.unset("spark.analytics.quantile.maxDistinctPerColumn")
+        spark.conf.unset("spark.analytics.quantile.maxLocalStateBytes")
         spark.conf.unset("spark.analytics.quantile.guard")
-    # Stock caps: the fixture is far under 5e6 distinct — normal path.
+    # Stock cap (256 MB): the fixture estimates a few MB — normal path.
     assert fn(spark, TEST_SF_DIR).count() > 0
+
+    # Calibration pin: the guard's estimate must trip on the ledgered
+    # r15 shape (6 M near-unique rows, local[8], 1 g heap ⇒ ~300 MB)
+    # and admit the sf0.1 shape (~38 MB) under the stock 256 MB cap —
+    # computed from the same formula the guard uses, so a future
+    # "simplification" back to a distinct-only cap goes red here.
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        _QUANTILE_BYTES_PER_ENTRY as BPE,
+    )
+
+    cap = 256 * 1024**2
+    ledgered_oom = min(583_090 * 8, 6_000_000) * BPE  # r15 sf≈1 shape
+    sf01_ok = min(583_090 * 8, 600_000) * BPE  # sf0.1 shape, measured fine
+    assert ledgered_oom > cap, "default cap must catch the ledgered OOM"
+    assert sf01_ok < cap, "default cap must admit the proven-fine sf0.1 run"
 
 
 def test_triangle_census_fails_fast_past_work_cap(spark, tmp_path):

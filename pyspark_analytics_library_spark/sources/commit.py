@@ -465,6 +465,24 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
     else:
         base_slice = spark.createDataFrame([], schema)
     merged = merge_fn(base_slice, updates)
+
+    def shape(st):
+        # names + types; nullability excluded — unions legitimately
+        # widen it and parquet self-describes it per file.
+        return [(f.name, f.dataType) for f in st.fields]
+
+    if shape(merged.schema) != shape(schema):
+        # A column/type change would land only in the rewritten
+        # buckets' files while carried files keep the old layout —
+        # readers would then see per-file-inconsistent columns.
+        # Refuse before any write; schema evolution is a whole-table
+        # re-seed.
+        raise ValueError(
+            "table_merge: merge_fn changed the table schema "
+            f"(got {merged.schema.simpleString()}, table is "
+            f"{schema.simpleString()}); a merge may not evolve the "
+            "schema — re-seed with table_init to change it"
+        )
     entries = _write_bucketed(merged, target, key, n_buckets)
     stray = [e["bucket"] for e in entries if e["bucket"] not in touched_set]
     if stray:

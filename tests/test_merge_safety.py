@@ -731,3 +731,23 @@ def test_table_history_time_travel_read(spark, tmp_path):
     commit_mod.table_merge(spark, target, updates, scd1_merged)
     with pytest.raises(ValueError, match="not retained"):
         commit_mod.table_read(spark, target, at=gen0)
+
+
+def test_table_merge_refuses_schema_evolution(spark, tmp_path):
+    """A merge_fn that adds/retypes a column would write the new
+    layout only into rewritten buckets while carried files keep the
+    old one — per-file-inconsistent reads.  The commit must refuse
+    before any write and point at table_init (schema evolution is a
+    whole-table re-seed)."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    before = _v2_rows(spark, target)
+    updates = base.limit(2)
+
+    def widening_fn(base_slice, upd):
+        return base_slice.unionByName(upd).withColumn("extra", F.lit(1))
+
+    with pytest.raises(ValueError, match="re-seed with table_init"):
+        commit_mod.table_merge(spark, target, updates, widening_fn)
+    assert _v2_rows(spark, target) == before

@@ -36,7 +36,10 @@ def main(spark, sf_dir):
         print("upsert:", cm.table_merge(spark, target, updates, scd1_merged))
 
         # Delete (right-to-be-forgotten): a merge_fn that drops keys.
-        doomed = orders.limit(5).select("o_orderkey")
+        # orderBy before limit: limit on an unordered frame returns
+        # arbitrary rows, which would make the demo's delete/lookup
+        # sets nondeterministic (and possibly overlapping).
+        doomed = orders.orderBy("o_orderkey").limit(5).select("o_orderkey")
         deletes = orders.join(doomed, "o_orderkey")
 
         def delete_fn(base_slice, del_rows):
@@ -47,7 +50,12 @@ def main(spark, sf_dir):
         print("delete:", cm.table_merge(spark, target, deletes, delete_fn))
 
         # Bucket-pruned point lookup: scans only the keys' buckets.
-        some = [r["o_orderkey"] for r in orders.offset(10).limit(8).collect()]
+        # Ordered + offset past the deleted keys so the demo's lookups
+        # deterministically hit surviving rows.
+        some = [
+            r["o_orderkey"]
+            for r in orders.orderBy("o_orderkey").offset(10).limit(8).collect()
+        ]
         cm.table_lookup(spark, target, some).show(8, truncate=False)
 
         # Time travel: the superseded generation stays readable until
@@ -58,14 +66,12 @@ def main(spark, sf_dir):
             "previous generation rows:",
             cm.table_read(spark, target, at=history[1]).count(),
         )
-        final = cm.table_read(spark, target)
-        print("rows:", final.count())
+        n_rows = cm.table_read(spark, target).count()
+        print("rows:", n_rows)
         # Return an eager summary: the temp table dir dies with this
         # context manager, so hand back driver-side literals like the
         # census queries do.
-        return spark.createDataFrame(
-            [(final.count(),)], "n_rows long"
-        )
+        return spark.createDataFrame([(n_rows,)], "n_rows long")
 
 
 if __name__ == "__main__":

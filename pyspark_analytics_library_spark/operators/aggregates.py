@@ -96,8 +96,17 @@ def money_sum(col: Column, scale: int = 4) -> Column:
     DuckDB spelling (both sides must cast/round identically), e.g.:
     ``CAST(ROUND(SUM(CAST(x AS DECIMAL(12,2)) * (CAST(1 AS
     DECIMAL(3,2)) - CAST(d AS DECIMAL(3,2)))), 4) AS DOUBLE)``.
+
+    Defensive widening (review r16): the pre-SUM cast to DECIMAL(27,8)
+    is an EXACT no-op for every rule-12 operand-decimal expression
+    (their per-row types peak at DECIMAL(22,6); ≤19 integer digits and
+    ≤8 fractional fit losslessly), but it means a caller who passes a
+    raw DOUBLE expression — the pre-r16 spelling — still gets
+    order-independent decimal summation (r15 semantics, ~6 orders of
+    margin) instead of silently regressing to partition-order-sensitive
+    double accumulation, the exact class rule 12 exists to eliminate.
     """
-    return F.round(F.sum(col), scale).cast("double")
+    return F.round(F.sum(col.cast("decimal(27,8)")), scale).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +495,7 @@ _QUANTILE_BYTES_PER_ENTRY = 64
 
 
 def exact_quantile_guard(
-    spark: SparkSession, df: DataFrame, cols: list[str]
+    spark: SparkSession, df: DataFrame, cols: list[str] | dict[str, int]
 ) -> None:
     """Fail fast before Spark's exact percentile state OOMs the JVM
     (VERDICT r15 #2).
@@ -519,6 +528,12 @@ def exact_quantile_guard(
     """
     if spark.conf.get("spark.analytics.quantile.guard", "true").lower() != "true":
         return
+    # cols maps column -> number of exact-percentile EXPRESSIONS over
+    # it (review r16: Spark's Percentile/Median buffers are per
+    # expression, not shared per column — three percentiles over one
+    # column hold three maps of the same values).  A plain list means
+    # one expression each.
+    mult = cols if isinstance(cols, dict) else {c: 1 for c in cols}
     cap = int(
         spark.conf.get(
             "spark.analytics.quantile.maxLocalStateBytes", str(256 * 1024**2)
@@ -526,12 +541,13 @@ def exact_quantile_guard(
     )
     probe = df.agg(
         F.count(F.lit(1)).alias("_n"),
-        *[F.approx_count_distinct(c, rsd=0.05).alias(c) for c in cols],
+        *[F.approx_count_distinct(c, rsd=0.05).alias(c) for c in mult],
     ).collect()[0]
     n_rows = probe["_n"]
     par = max(spark.sparkContext.defaultParallelism, 1)
     est = {
-        c: min(probe[c] * par, n_rows) * _QUANTILE_BYTES_PER_ENTRY for c in cols
+        c: min(probe[c] * par, n_rows) * _QUANTILE_BYTES_PER_ENTRY * k
+        for c, k in mult.items()
     }
     over = {c: b for c, b in est.items() if b > cap}
     if over:
@@ -570,7 +586,9 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     OOM (VERDICT r15 #2), naming the sketch path in the error."""
     t = load_tables(spark, sf_dir)
     df = t["lineitem"]
-    exact_quantile_guard(spark, df, ["l_quantity", "l_extendedprice"])
+    # 3 exact-percentile expressions over l_quantity (median + two
+    # percentiles), 1 over l_extendedprice — each holds its own map.
+    exact_quantile_guard(spark, df, {"l_quantity": 3, "l_extendedprice": 1})
     q = F.col("l_quantity")
     return (
         df.groupBy("l_returnflag")

@@ -279,14 +279,36 @@ def _live_manifest_name(target: str) -> str:
     return os.path.basename(resolve_table(target))
 
 
+#: ``expect_current`` sentinel for "the table had NO pointer when this
+#: commit started" (a fresh table_init) — distinct from None = "skip
+#: the concurrency check entirely".
+_ABSENT = "<absent>"
+
+#: Age (seconds) below which a data file referenced by NO manifest is
+#: left alone by the pruner: it may belong to an IN-FLIGHT commit whose
+#: manifest has not been written yet (review r16: a concurrent writer's
+#: prune could otherwise unlink files another writer's Spark job was
+#: just writing).  Files referenced by a manifest being pruned are
+#: deleted immediately regardless — they were committed once and are
+#: provably superseded.  Crashed-commit orphans are reclaimed after
+#: the grace by any later successful commit.
+ORPHAN_GRACE_S = 3600.0
+
+
 def _commit_manifest(
     target: str, manifest: dict, expect_current: str | None = None
 ) -> str:
     """Write a new manifest file and atomically repoint ``_CURRENT`` at
     it — the v2 commit point, same one-small-file swap as v1.  With
     ``expect_current`` set, refuse (``ConcurrentCommitError``) if the
-    pointer no longer names that manifest — see the exception class for
-    the optimistic-concurrency contract."""
+    pointer state changed (moved off that manifest, or appeared when
+    :data:`_ABSENT` was expected) — see the exception class for the
+    optimistic-concurrency contract.
+
+    The manifest file is removed on EVERY non-commit exit — the
+    conflict path and an ``os.replace`` failure alike (review r16: a
+    never-committed manifest left on disk would later win a retention
+    slot and evict the genuine previous generation)."""
     import json
 
     name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:12]}.json"
@@ -294,18 +316,43 @@ def _commit_manifest(
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(target, name))
-    if expect_current is not None and _live_manifest_name(target) != expect_current:
+    try:
+        if expect_current is not None:
+            ptr_exists = os.path.exists(os.path.join(target, CURRENT_POINTER))
+            ok = (
+                not ptr_exists
+                if expect_current == _ABSENT
+                else ptr_exists and _live_manifest_name(target) == expect_current
+            )
+            if not ok:
+                raise ConcurrentCommitError(
+                    f"{target}: live manifest moved off {expect_current!r} "
+                    "during the commit — another writer committed; re-read "
+                    "and retry"
+                )
+        _swap_pointer(target, name)
+    except BaseException:
         try:
             os.remove(os.path.join(target, name))
         except OSError:
             pass
-        raise ConcurrentCommitError(
-            f"{target}: live manifest moved off {expect_current!r} during "
-            "the merge — another writer committed; re-read and retry"
-        )
-    _swap_pointer(target, name)
+        raise
     _prune_manifests(target, name)
     return name
+
+
+def _manifest_seq(path: str) -> int:
+    """Commit sequence recorded in a manifest (−1 when unreadable or
+    pre-seq) — the deterministic retention/time-travel order.  mtime
+    is NOT used: its granularity (1 s on some filesystems) and clock
+    skew on shared stores can misorder close commits (review r16)."""
+    import json
+
+    try:
+        with open(path, encoding="utf-8") as f:
+            return int(json.load(f).get("seq", -1))
+    except (OSError, ValueError, TypeError):
+        return -1
 
 
 def _load_manifest(target: str) -> dict:
@@ -331,18 +378,23 @@ def table_init(
     A full bucketed write + manifest commit — the ONE unavoidable
     whole-table write; every later :func:`table_merge` is incremental.
     Re-seeding an existing v2 table is an ordinary commit (readers on
-    the old manifest are undisturbed; superseded files are pruned).
+    the old manifest are undisturbed; superseded files are pruned),
+    and carries the same optimistic-concurrency check as
+    :func:`table_merge`: a competing commit landing mid-seed raises
+    :class:`ConcurrentCommitError` instead of being silently replaced
+    (review r16 — previously only merges were protected).
     Refuses a pointerless non-empty target exactly like v1
     :func:`manifest_commit` and for the same reason."""
-    if (
-        os.path.isdir(target)
-        and os.listdir(target)
-        and not os.path.exists(os.path.join(target, CURRENT_POINTER))
-    ):
+    ptr_exists = os.path.exists(os.path.join(target, CURRENT_POINTER))
+    if os.path.isdir(target) and os.listdir(target) and not ptr_exists:
         raise ValueError(
             f"{target} holds a non-manifest (rename-mode) table; refusing "
             "to nest a manifest layout inside it"
         )
+    expected = _live_manifest_name(target) if ptr_exists else _ABSENT
+    seq = (
+        int(_load_manifest(target).get("seq", -1)) + 1 if ptr_exists else 0
+    )
     if n_buckets is None:
         n_buckets = int(
             df.sparkSession.conf.get(MERGE_BUCKETS_CONF, "16")
@@ -351,12 +403,13 @@ def table_init(
     entries = _write_bucketed(df, target, bucket_key, n_buckets)
     manifest = {
         "version": 2,
+        "seq": seq,
         "bucket_key": bucket_key,
         "n_buckets": n_buckets,
         "schema": df.schema.json(),
         "files": entries,
     }
-    _commit_manifest(target, manifest)
+    _commit_manifest(target, manifest, expect_current=expected)
     return {"files": len(entries), "n_buckets": n_buckets}
 
 
@@ -373,7 +426,7 @@ def table_history(target: str) -> list[str]:
             for n in os.listdir(target)
             if n.startswith(MANIFEST_PREFIX) and n != live
         ),
-        key=lambda n: os.path.getmtime(os.path.join(target, n)),
+        key=lambda n: _manifest_seq(os.path.join(target, n)),
         reverse=True,
     )
     return [live] + others
@@ -493,7 +546,9 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             f"{sorted(set(stray))}; a merge may only rewrite the touched "
             "slice (did merge_fn rekey rows?)"
         )
-    manifest = dict(man, files=carried + entries)
+    manifest = dict(
+        man, files=carried + entries, seq=int(man.get("seq", -1)) + 1
+    )
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "touched_buckets": touched,
@@ -504,13 +559,32 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
 
 
 def _prune_manifests(target: str, current: str) -> None:
-    """Reclaim superseded manifests and unreferenced data files,
-    keeping the live manifest plus the newest ``KEEP_GENERATIONS - 1``
-    others (same grace-window contract as v1).  Runs after the pointer
-    swap — a crash here costs disk, never correctness.  Best-effort:
-    every deletion target is derived from manifests no reader can
-    reach through the pointer anymore."""
+    """Reclaim superseded manifests and their data files, keeping the
+    live manifest plus the newest ``KEEP_GENERATIONS - 1`` others by
+    commit SEQUENCE (same grace-window contract as v1).  Runs after
+    the pointer swap — a crash here costs disk, never correctness.
+
+    Two deletion classes (review r16), deliberately different:
+
+    * files referenced by a manifest being pruned here — committed
+      once, provably superseded → deleted immediately (minus any the
+      kept manifests still carry by reference);
+    * files referenced by NO manifest at all — possibly an IN-FLIGHT
+      concurrent commit's data that has not reached its manifest
+      write yet → deleted only past :data:`ORPHAN_GRACE_S`, so a
+      racing writer's prune can never unlink files another writer is
+      producing.  Crashed-commit orphans age out through the same
+      grace.
+    """
     import json
+    import time
+
+    def refs(name: str) -> set[str] | None:
+        try:
+            with open(os.path.join(target, name), encoding="utf-8") as f:
+                return {e["path"] for e in json.load(f)["files"]}
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
 
     try:
         manifests = [
@@ -519,34 +593,47 @@ def _prune_manifests(target: str, current: str) -> None:
             if n.startswith(MANIFEST_PREFIX) and n != current
         ]
         manifests.sort(
-            key=lambda n: os.path.getmtime(os.path.join(target, n)),
-            reverse=True,
+            key=lambda n: _manifest_seq(os.path.join(target, n)), reverse=True
         )
         keep = [current] + manifests[: KEEP_GENERATIONS - 1]
-        for n in manifests[KEEP_GENERATIONS - 1 :]:
+        pruned = manifests[KEEP_GENERATIONS - 1 :]
+        kept_refs: set[str] = set()
+        for n in keep:
+            r = refs(n)
+            if r is None:
+                # Unreadable kept manifest: skip pruning entirely —
+                # never delete files we cannot prove unreferenced.
+                return
+            kept_refs |= r
+        pruned_refs: set[str] = set()
+        for n in pruned:
+            r = refs(n)
+            if r is not None:
+                pruned_refs |= r
             try:
                 os.remove(os.path.join(target, n))
             except OSError:
                 pass
-        referenced: set[str] = set()
-        for n in keep:
-            try:
-                with open(os.path.join(target, n), encoding="utf-8") as f:
-                    referenced.update(e["path"] for e in json.load(f)["files"])
-            except (OSError, ValueError, KeyError):
-                # Unreadable kept manifest: skip pruning entirely —
-                # never delete files we cannot prove unreferenced.
-                return
+        now = time.time()
         data_root = os.path.join(target, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, target).replace(os.sep, "/")
-                if rel not in referenced:
+                if rel in kept_refs:
+                    continue
+                if rel in pruned_refs:
+                    pass  # committed-then-superseded: delete now
+                else:
                     try:
-                        os.remove(full)
+                        if now - os.path.getmtime(full) < ORPHAN_GRACE_S:
+                            continue  # possibly in-flight — leave it
                     except OSError:
-                        pass
+                        continue
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
             try:
                 os.rmdir(dirpath)  # only succeeds when emptied
             except OSError:

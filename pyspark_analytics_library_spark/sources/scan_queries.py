@@ -16,7 +16,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -591,6 +591,43 @@ def q_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _SCD2_EFF_DATE() -> Column:
+    """The SCD-2 batch's effective date — single spelling."""
+    return F.lit("1998-12-01").cast("date")
+
+
+def _scd2_update_batch(orders: DataFrame) -> DataFrame:
+    """The ONE spelling of the SCD-2 update batch (review r16: this
+    recipe previously lived hand-synchronized in scd2_history, the
+    manifest branch of q_sink_merge_scd2, and the oracle SQL — a drift
+    surface where editing one spelling would silently diverge the
+    others).  Columns: o_orderkey, o_orderstatus, o_totalprice,
+    valid_from.  Same %97 update / %101 insert predicates, floor-based
+    half-up price rounding, and collision-free insert offset the
+    oracle states."""
+    offset = _insert_key_offset(orders)
+    eff = _SCD2_EFF_DATE()
+    return (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
+                "o_totalprice"
+            ),
+            eff.alias("valid_from"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 101 == 0).select(
+                (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(42.0).alias("o_totalprice"),
+                eff.alias("valid_from"),
+            )
+        )
+    )
+
+
 def scd2_history(orders: DataFrame) -> DataFrame:
     """The SCD-2 merge frame before the sink: base + update batch
     unioned, superseded base rows closed out via ONE window over the
@@ -613,8 +650,7 @@ def scd2_history(orders: DataFrame) -> DataFrame:
     surrogate NULL keys upstream."""
     from pyspark.sql import Window
 
-    offset = _insert_key_offset(orders)
-    eff = F.lit("1998-12-01").cast("date")
+    eff = _SCD2_EFF_DATE()
     base = orders.select(
         "o_orderkey",
         "o_orderstatus",
@@ -622,27 +658,7 @@ def scd2_history(orders: DataFrame) -> DataFrame:
         F.lit("1990-01-01").cast("date").alias("valid_from"),
         F.lit("b").alias("_src"),
     )
-    updates = (
-        orders.filter(F.col("o_orderkey") % 97 == 0)
-        .select(
-            "o_orderkey",
-            F.lit("U").alias("o_orderstatus"),
-            (F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100).alias(
-                "o_totalprice"
-            ),
-            eff.alias("valid_from"),
-            F.lit("u").alias("_src"),
-        )
-        .unionByName(
-            orders.filter(F.col("o_orderkey") % 101 == 0).select(
-                (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
-                F.lit("N").alias("o_orderstatus"),
-                F.lit(42.0).alias("o_totalprice"),
-                eff.alias("valid_from"),
-                F.lit("u").alias("_src"),
-            )
-        )
-    )
+    updates = _scd2_update_batch(orders).withColumn("_src", F.lit("u"))
     has_upd = F.max((F.col("_src") == "u").cast("int")).over(
         Window.partitionBy("o_orderkey")
     )
@@ -777,8 +793,6 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # :func:`scd2_apply` — only buckets containing updated keys
         # are rewritten; the untouched history files are carried by
         # reference.  See q_sink_merge_upsert's manifest comment.
-        offset = _insert_key_offset(orders)
-        eff = F.lit("1998-12-01").cast("date")
         base_hist = orders.select(
             "o_orderkey",
             "o_orderstatus",
@@ -787,25 +801,7 @@ def q_sink_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("date").alias("valid_to"),
             F.lit(True).alias("is_current"),
         )
-        updates = (
-            orders.filter(F.col("o_orderkey") % 97 == 0)
-            .select(
-                "o_orderkey",
-                F.lit("U").alias("o_orderstatus"),
-                (
-                    F.floor(F.col("o_totalprice") * 1.1 * 100 + F.lit(0.5)) / 100
-                ).alias("o_totalprice"),
-                eff.alias("valid_from"),
-            )
-            .unionByName(
-                orders.filter(F.col("o_orderkey") % 101 == 0).select(
-                    (F.col("o_orderkey") + F.lit(offset)).alias("o_orderkey"),
-                    F.lit("N").alias("o_orderstatus"),
-                    F.lit(42.0).alias("o_totalprice"),
-                    eff.alias("valid_from"),
-                )
-            )
-        )
+        updates = _scd2_update_batch(orders)
         commit_mod.table_init(base_hist, path, "o_orderkey")
         commit_mod.table_merge(spark, path, updates, scd2_apply)
         hist_read = commit_mod.table_read(spark, path)

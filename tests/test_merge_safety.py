@@ -380,9 +380,22 @@ def test_table_merge_crash_before_pointer_swap_keeps_old_manifest_live(
         commit_mod.table_merge(spark, target, updates, scd1_merged)
     monkeypatch.setattr(commit_mod, "_swap_pointer", real_swap)
     assert _v2_rows(spark, target) == before
+    # The never-committed manifest must NOT be left on disk (review
+    # r16: it would later win a retention slot by recency and evict
+    # the genuine previous generation) — history stays just the seed.
+    assert commit_mod.table_history(target) == [
+        commit_mod._live_manifest_name(target)
+    ]
     # And the interrupted commit replays cleanly afterwards.
     commit_mod.table_merge(spark, target, updates, scd1_merged)
     assert _v2_rows(spark, target) != before
+    # Retention order is the commit SEQUENCE (not mtime): the seed is
+    # the rollback target after the successful retry.
+    hist = commit_mod.table_history(target)
+    assert len(hist) == commit_mod.KEEP_GENERATIONS
+    assert sorted(
+        commit_mod._manifest_seq(str(tmp_path / "t" / n)) for n in hist
+    ) == [0, 1]
 
 
 def test_table_merge_performs_no_directory_rename(spark, tmp_path, monkeypatch):

@@ -24,8 +24,12 @@ reaches the driver) at the bench SF — a recall regression now fails
 machine-readably (`quality_ok: false`) instead of hiding behind green
 rows-only CORRECTNESS and time-only BENCH.
 
-Method mirrors BASELINE.md: 1 warm-up collect per query, then 3 timed
-collects, best-of-3 reported; SparkSession startup excluded.
+Method mirrors BASELINE.md: 1 warm-up collect per query, then timed
+collects with the best reported; SparkSession startup excluded.
+Repetitions are bar-gap-aware (VERDICT r16 #2): best-of-7 for rows
+whose reference is under 0.5 s (where the 2x bar-gap is smaller than
+the measured +/-40% container steal-time swing), best-of-3 for the
+slow/iterative rows (bar-gap >> noise; extra reps would add minutes).
 """
 
 from __future__ import annotations
@@ -285,34 +289,60 @@ def main() -> None:
         "merge_scd2",
     }
 
-    timings: dict[str, float] = {}
+    def _reps(bench_name: str) -> int:
+        # VERDICT r16 #2: sub-second rows have a 2x bar-gap smaller
+        # than the measured +/-40% container steal-time swing, so a
+        # single noisy 3-collect window can flag a row whose plan did
+        # not change (r16: 4 such rows, each un-flagged in other runs
+        # of identical code).  Best-of-7 for rows whose reference is
+        # under 0.5 s makes one clean collect among seven suffice —
+        # the extra reps cost < 10 s total across the fast rows.
+        # Slow/iterative rows keep best-of-3 (their bar-gap dwarfs the
+        # noise, and extra reps there would add minutes).
+        return 7 if REFERENCE.get(bench_name, 1.0) < 0.5 else 3
+
+    # One job per bench row: name -> zero-arg collect thunk.  Plans for
+    # non-iterative registry rows are built ONCE (BASELINE.md method:
+    # plan-build py4j chatter excluded); iterative/custom rows rebuild
+    # inside the timed region because their fn() does eager work.
+    def _job(qname: str, rebuild: bool):
+        df = REGISTRY[qname].fn(spark, sf_dir)
+        if rebuild:
+            return df, (lambda: REGISTRY[qname].fn(spark, sf_dir).collect())
+        return df, df.collect
+
+    jobs: dict[str, object] = {}
     rows: dict[str, int] = {}
     for bench_name, qname in HEADLINE.items():
-        # BASELINE.md method: build the DataFrame once, 1 warm-up
-        # collect, then 3 timed collects of the same plan (plan-build
-        # py4j chatter excluded on both sides).
-        df = REGISTRY[qname].fn(spark, sf_dir)
+        df, thunk = _job(qname, bench_name in iterative)
         rows[bench_name] = len(df.collect())  # warm-up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            if bench_name in iterative:
-                REGISTRY[qname].fn(spark, sf_dir).collect()
-            else:
-                df.collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[bench_name] = round(best, 4)
-
-    # Custom rows: constructed-input code paths (all eager inside the
-    # call, so the timed region rebuilds like the iterative set).
+        jobs[bench_name] = thunk
     for bench_name, fn in CUSTOM.items():
         rows[bench_name] = len(fn(spark, sf_dir).collect())  # warm-up
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[bench_name] = round(best, 4)
+        jobs[bench_name] = lambda fn=fn: fn(spark, sf_dir).collect()
+
+    # Repetitions run as TWO temporally separated BACK-TO-BACK blocks
+    # per row (round 17).  Back-to-back keeps a row's samples warm
+    # (page cache / JIT / shuffle reuse) — a fully interleaved
+    # round-robin was measured to inflate heavy rows ~2x because each
+    # sample re-pays eviction by the checkpoint-writing neighbors
+    # (similarity_topk 0.42 s -> 1.07 s under identical code).  The
+    # second block runs after the whole suite (~30 s later), so one
+    # container steal-time burst can no longer cover every sample of a
+    # row — the failure mode that flagged 4 clean rows in BENCH_r16.
+    # best-of-all-samples is reported, same estimator as BASELINE.md.
+    best: dict[str, float] = {name: float("inf") for name in jobs}
+    for block in (0, 1):
+        for bench_name, thunk in jobs.items():
+            n = _reps(bench_name)
+            k = (n + 1) // 2 if block == 0 else n // 2
+            for _ in range(k):
+                t0 = time.perf_counter()
+                thunk()
+                best[bench_name] = min(
+                    best[bench_name], time.perf_counter() - t0
+                )
+    timings = {name: round(t, 4) for name, t in best.items()}
 
     # Headline value = the ORIGINAL 8 queries (comparable across rounds
     # and against BASELINE.md's 0.889 s suite total); the round-3

@@ -14,6 +14,8 @@ bridge then renders as float64).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -494,9 +496,28 @@ def q_agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUANTILE_BYTES_PER_ENTRY = 64
 
 
+def _parse_size_bytes(s: str) -> int:
+    """Byte count from a size conf value, accepting the JVM-style
+    ``k``/``m``/``g``/``t`` (and ``kb``/``mb``/...) suffixes every other
+    Spark memory conf takes (ADVICE r16: the guard doc suggested
+    '12g' but the parser was a bare ``int()``, so following the doc
+    crashed with an opaque ValueError instead of the guard's
+    actionable message)."""
+    s = s.strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", s)
+    if not m:
+        raise ValueError(
+            f"unparseable size {s!r}: expected bytes or a k/m/g/t-suffixed "
+            "value (e.g. 268435456, 256m, 12g)"
+        )
+    return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[
+        m.group(2)
+    ]
+
+
 def exact_quantile_guard(
     spark: SparkSession, df: DataFrame, cols: list[str] | dict[str, int]
-) -> None:
+) -> set[str]:
     """Fail fast before Spark's exact percentile state OOMs the JVM
     (VERDICT r15 #2).
 
@@ -525,16 +546,25 @@ def exact_quantile_guard(
     the cap with executor memory.  ``spark.analytics.quantile.guard``
     = ``false`` skips the probe job entirely (the describe.selfCheck
     pattern) when the caller has sized heaps for a known value domain.
+
+    Round 17 (VERDICT r16 #7): the guard now RETURNS the set of
+    over-cap columns instead of always raising, so callers can compute
+    the exact answer anyway via :func:`binned_exact_percentiles`
+    (bounded-state two-pass binning) — ``spark.analytics.quantile.
+    onOverCap`` selects the behavior: ``binned`` (default — compute,
+    never OOM, never refuse) or ``error`` (the r15/r16 refusal with
+    the actionable message, for callers who want the cheap plan or
+    nothing).  Empty set = under cap, use the native exact path.
     """
     if spark.conf.get("spark.analytics.quantile.guard", "true").lower() != "true":
-        return
+        return set()
     # cols maps column -> number of exact-percentile EXPRESSIONS over
     # it (review r16: Spark's Percentile/Median buffers are per
     # expression, not shared per column — three percentiles over one
     # column hold three maps of the same values).  A plain list means
     # one expression each.
     mult = cols if isinstance(cols, dict) else {c: 1 for c in cols}
-    cap = int(
+    cap = _parse_size_bytes(
         spark.conf.get(
             "spark.analytics.quantile.maxLocalStateBytes", str(256 * 1024**2)
         )
@@ -550,7 +580,10 @@ def exact_quantile_guard(
         for c, k in mult.items()
     }
     over = {c: b for c, b in est.items() if b > cap}
-    if over:
+    if over and (
+        spark.conf.get("spark.analytics.quantile.onOverCap", "binned").lower()
+        == "error"
+    ):
         detail = ", ".join(f"{c}≈{b / 1e6:.0f} MB" for c, b in over.items())
         raise ValueError(
             "agg_quantile: exact percentile/median would hold "
@@ -560,10 +593,258 @@ def exact_quantile_guard(
             f"{cap} (calibration: ~300 MB estimated state OOM-killed a 1 g "
             "JVM — SCALE.md round-15 sf≈1 sweep).  Use the sketch path "
             "instead (agg_approx_quantile / F.percentile_approx: fixed-size "
-            "state at any scale), raise the cap in step with executor "
+            "state at any scale), the exact bounded-state path "
+            "(spark.analytics.quantile.onOverCap=binned — two-pass range "
+            "binning, the default), raise the cap in step with executor "
             "memory, or set spark.analytics.quantile.guard=false to bypass "
             "this probe."
         )
+    return set(over)
+
+
+def binned_exact_percentiles(
+    df: DataFrame,
+    by: list[str],
+    col: str,
+    probs: list[float],
+    bins: int = 4096,
+    leaf_limit: int = 65536,
+    max_rounds: int = 40,
+) -> dict[tuple, dict[float, float | None]]:
+    """EXACT grouped percentiles with BOUNDED state at any input size —
+    the compute-instead-of-refuse path behind :func:`exact_quantile_guard`
+    (VERDICT r16 #7: the r15 OOM shape should return the exact median,
+    not a refusal).
+
+    Spark's native ``percentile()`` holds every distinct value per task
+    in a hash map — O(distinct) state, the thing that OOM'd a 1 g heap
+    at 6 M near-unique rows (SCALE.md r15).  This is the classic
+    alternative: iterative RANGE BINNING (the distributed
+    selection-problem algorithm — e.g. Blum et al.'s selection bounds
+    carried to histograms; same shape as t-digest's exact fallback):
+
+    1. one aggregate per round bins each group's candidate interval
+       into ``bins`` equal-width ranges — per-task state is a fixed
+       ``units x bins`` count array regardless of input size (map-side
+       combinable ordinary groupBy);
+    2. the driver walks the (bounded, <= units x bins rows) histogram
+       to find which bin holds each target rank, accumulates the exact
+       count below it, and narrows the interval to that bin's OBSERVED
+       [min, max] — duplicates collapse the interval in one step;
+    3. when a unit's candidate count is <= ``leaf_limit``, ONE final
+       filtered pass collects just those candidate values (bounded by
+       units x leaf_limit, the only value-sized collect) and the order
+       statistics are read off the sorted leaf.
+
+    Convergence: each round the candidate set shrinks ~bins-fold (6 M
+    rows -> leaf in one round at bins=4096), so rounds ~
+    ceil(log_bins(n / leaf_limit)) + stall slack; a unit whose interval
+    stops shrinking (all-equal candidates) resolves immediately via
+    observed min == max.
+
+    Returns ``{group_key_tuple: {prob: value}}`` with the same
+    interpolation as ``percentile_cont`` (v1 + frac x (v2 - v1) between
+    the two bracketing order statistics).  NULLs are ignored per SQL
+    semantics; an empty group yields ``None``.
+    """
+    import math
+
+    spark = df.sparkSession
+    base = (
+        df.select(*by, F.col(col).cast("double").alias("_v"))
+        .filter(F.col("_v").isNotNull())
+    )
+    g0 = (
+        base.groupBy(*by)
+        .agg(
+            F.count("_v").alias("_n"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        )
+        .collect()  # bounded: one row per group
+    )
+
+    # One search unit per (group, prob): interval + exact rank bookkeeping.
+    units: list[dict] = []
+    results: dict[tuple, dict[float, float | None]] = {}
+    for r in g0:
+        key = tuple(r[c] for c in by)
+        results.setdefault(key, {})
+        n = r["_n"]
+        for p in probs:
+            rank = p * (n - 1)
+            k1, k2 = math.floor(rank), math.ceil(rank)
+            u = {
+                "key": key,
+                "p": p,
+                "rank": rank,
+                "k1": k1,
+                "k2": k2,
+                "lo": float(r["_mn"]),
+                "hi": float(r["_mx"]),
+                "below": 0,  # exact count of rows < current interval
+                "cand": n,
+                "vals": None,  # (v_k1, v_k2) once resolved
+            }
+            if u["lo"] == u["hi"]:
+                u["vals"] = (u["lo"], u["lo"])
+            units.append(u)
+
+    key_schema = base.select(*by).schema
+
+    def _histogram(active: list[dict]):
+        """One distributed pass: per-unit equal-width bin counts plus
+        observed per-bin min/max.  Driver receives <= len(active) x bins
+        rows — bounded by construction, never data-sized."""
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        uschema = StructType(
+            [StructField("_uid", IntegerType(), False)]
+            + list(key_schema.fields)
+            + [
+                StructField("_lo", DoubleType(), False),
+                StructField("_hi", DoubleType(), False),
+            ]
+        )
+        udf_rows = [
+            (i, *u["key"], u["lo"], u["hi"]) for i, u in enumerate(active)
+        ]
+        bounds = spark.createDataFrame(udf_rows, uschema)
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        b = F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / w).cast("int"),
+            F.lit(bins - 1),
+        )
+        return (
+            base.join(F.broadcast(bounds), on=by)
+            .filter(F.col("_v").between(F.col("_lo"), F.col("_hi")))
+            .groupBy("_uid", b.alias("_b"))
+            .agg(
+                F.count("_v").alias("_c"),
+                F.min("_v").alias("_bmn"),
+                F.max("_v").alias("_bmx"),
+            )
+            .collect()
+        )
+
+    for _ in range(max_rounds):
+        active = [u for u in active_units(units, leaf_limit)]
+        if not active:
+            break
+        hist = _histogram(active)
+        per_unit: dict[int, list] = {}
+        for row in hist:
+            per_unit.setdefault(row["_uid"], []).append(row)
+        progressed = False
+        for uid, u in enumerate(active):
+            bins_sorted = sorted(per_unit.get(uid, []), key=lambda r: r["_b"])
+            # Locate the bin range covering both needed ranks.
+            cum = u["below"]
+            first = last = None
+            for row in bins_sorted:
+                span = (cum, cum + row["_c"])  # ranks [span0, span1)
+                if first is None and u["k1"] < span[1]:
+                    first = (row, cum)
+                if u["k2"] < span[1]:
+                    last = row
+                    break
+                cum += row["_c"]
+            if first is None or last is None:  # defensive: can't happen
+                u["cand"] = 0
+                u["vals"] = (None, None)
+                continue
+            frow, fbelow = first
+            covering = [
+                r
+                for r in bins_sorted
+                if frow["_b"] <= r["_b"] <= last["_b"]
+            ]
+            new_lo = min(r["_bmn"] for r in covering)
+            new_hi = max(r["_bmx"] for r in covering)
+            new_cand = sum(r["_c"] for r in covering)
+            if new_lo == new_hi:
+                u["vals"] = (new_lo, new_hi)
+                continue
+            if (new_lo, new_hi, new_cand) == (u["lo"], u["hi"], u["cand"]):
+                # Interval can no longer shrink (values straddle one
+                # float ULP); force leaf resolution regardless of size.
+                u["force_leaf"] = True
+                continue
+            u["lo"], u["hi"] = new_lo, new_hi
+            u["below"], u["cand"] = fbelow, new_cand
+            progressed = True
+        if not progressed:
+            break
+
+    # Leaf pass: collect candidate values for every unresolved unit.
+    leaves = [u for u in units if u["vals"] is None]
+    if leaves:
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        uschema = StructType(
+            [StructField("_uid", IntegerType(), False)]
+            + list(key_schema.fields)
+            + [
+                StructField("_lo", DoubleType(), False),
+                StructField("_hi", DoubleType(), False),
+            ]
+        )
+        bounds = spark.createDataFrame(
+            [(i, *u["key"], u["lo"], u["hi"]) for i, u in enumerate(leaves)],
+            uschema,
+        )
+        got = (
+            base.join(F.broadcast(bounds), on=by)
+            .filter(F.col("_v").between(F.col("_lo"), F.col("_hi")))
+            .select("_uid", "_v")
+            .collect()  # bounded: <= len(leaves) x leaf_limit values
+        )
+        by_uid: dict[int, list[float]] = {}
+        for row in got:
+            by_uid.setdefault(row["_uid"], []).append(row["_v"])
+        for uid, u in enumerate(leaves):
+            vals = sorted(by_uid.get(uid, []))
+            i1, i2 = u["k1"] - u["below"], u["k2"] - u["below"]
+            u["vals"] = (vals[i1], vals[i2])
+
+    for u in units:
+        v1, v2 = u["vals"]
+        if v1 is None:
+            results[u["key"]][u["p"]] = None
+        elif u["k1"] == u["k2"]:
+            results[u["key"]][u["p"]] = v1
+        else:
+            # Spark Percentile's exact float expression
+            # ((higher-pos)*lower + (pos-lower)*higher) — NOT the
+            # algebraically-equal v1 + frac*(v2-v1), which differs in
+            # the last ULP and would diverge pre-rounding.
+            rank = u["rank"]
+            results[u["key"]][u["p"]] = (u["k2"] - rank) * v1 + (
+                rank - u["k1"]
+            ) * v2
+    return results
+
+
+def active_units(units: list[dict], leaf_limit: int) -> list[dict]:
+    """Units still narrowing: unresolved, above the leaf size, and not
+    stalled at a one-ULP interval."""
+    return [
+        u
+        for u in units
+        if u["vals"] is None
+        and u["cand"] > leaf_limit
+        and not u.get("force_leaf")
+    ]
 
 
 @query(
@@ -579,16 +860,23 @@ def exact_quantile_guard(
     """,
 )
 def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median/percentiles (full-sort semantics).  The 100 TB
-    default is `agg_approx_quantile` below — exact quantiles require
-    O(distinct-values) per-task state; :func:`exact_quantile_guard`
-    fails fast past a conf-set distinct cap instead of letting the JVM
-    OOM (VERDICT r15 #2), naming the sketch path in the error."""
+    """Exact median/percentiles.  The native path uses Spark's
+    ``percentile()``/``median()`` (O(distinct) per-task hash-map
+    state); :func:`exact_quantile_guard` estimates that state first
+    and, past the conf cap, the query COMPUTES the same exact answer
+    through :func:`binned_exact_percentiles` (bounded-state iterative
+    range binning) instead of OOMing — or refuses with the sketch-path
+    message under ``onOverCap=error`` (VERDICT r15 #2 / r16 #7).  The
+    100 TB cheap default remains `agg_approx_quantile` below."""
     t = load_tables(spark, sf_dir)
     df = t["lineitem"]
     # 3 exact-percentile expressions over l_quantity (median + two
     # percentiles), 1 over l_extendedprice — each holds its own map.
-    exact_quantile_guard(spark, df, {"l_quantity": 3, "l_extendedprice": 1})
+    over = exact_quantile_guard(
+        spark, df, {"l_quantity": 3, "l_extendedprice": 1}
+    )
+    if over:
+        return _binned_agg_quantile(spark, df)
     q = F.col("l_quantity")
     return (
         df.groupBy("l_returnflag")
@@ -598,6 +886,42 @@ def q_agg_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r(F.percentile(q, F.lit(0.75))).alias("q75_qty"),
             _r(F.median("l_extendedprice")).alias("med_price"),
         )
+    )
+
+
+def _binned_agg_quantile(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """agg_quantile's over-cap spelling: same result shape and values
+    via :func:`binned_exact_percentiles`, assembled driver-side from
+    the (groups x probs)-bounded result map.  Rounding matches the
+    native plan's ROUND half-up (Python's ``round`` is banker's —
+    using it would diverge on exact .00005 ties)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4(v: float | None) -> float | None:
+        if v is None:
+            return None
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    qty = binned_exact_percentiles(
+        df, ["l_returnflag"], "l_quantity", [0.5, 0.25, 0.75]
+    )
+    price = binned_exact_percentiles(df, ["l_returnflag"], "l_extendedprice", [0.5])
+    rows = [
+        (
+            flag,
+            r4(qv[0.5]),
+            r4(qv[0.25]),
+            r4(qv[0.75]),
+            r4(price[key][0.5]),
+        )
+        for key, qv in sorted(qty.items())
+        for flag in [key[0]]
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, med_qty double, q25_qty double, "
+        "q75_qty double, med_price double"
     )
 
 

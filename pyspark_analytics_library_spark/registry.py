@@ -137,6 +137,15 @@ class _Pin:
 #: budget (r11 tier 3 + r12 tier 48 = 51 > K=50) had zero slack for
 #: cosmetic pins.  The ADVICE r15 stale-checkout hazard is moot for
 #: an output-identical change by construction.
+#:
+#: CONVENTION (round 17, VERDICT r16 #4): any future mid-round
+#: semantics change that is NOT proven output-bit-identical pins with
+#: ``until = N + 1`` where N is the round being built — the pin then
+#: clears on the very next driver attestation instead of holding a
+#: front-of-rotation slot against a stale checkout.  Round 17 itself
+#: adds no pins: the quantile over-cap fallback only changes behavior
+#: past a state cap the driver SFs never trip, and the bench
+#: restructure touches no declared query.
 _PRIORITY: dict[str, _Pin] = {
     "mm_decode_batch": _Pin(until=13),
     "sink_merge_upsert": _Pin(until=13),

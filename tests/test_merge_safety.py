@@ -764,3 +764,250 @@ def test_table_merge_refuses_schema_evolution(spark, tmp_path):
     with pytest.raises(ValueError, match="re-seed with table_init"):
         commit_mod.table_merge(spark, target, updates, widening_fn)
     assert _v2_rows(spark, target) == before
+
+
+# ---------------------------------------------------------------------------
+# Round 17: table maintenance — append, merge-on-read, compaction, and
+# file-level stats pruning (VERDICT r16 missing #1/#2/#3).
+# ---------------------------------------------------------------------------
+
+
+def test_table_append_adds_files_without_rewrite(spark, tmp_path):
+    """Fast append: new files only — every pre-existing file carried by
+    identical path; content = base UNION batch (duplicates included:
+    append is a log, not an upsert)."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    files1 = {e["path"] for e in commit_mod._load_manifest(target)["files"]}
+
+    batch = _v2_base(spark).filter(F.col("o_orderkey") < 10)
+    stats = commit_mod.table_append(spark, target, batch)
+    assert stats["new_files"] >= 1
+
+    man2 = commit_mod._load_manifest(target)
+    files2 = {e["path"] for e in man2["files"]}
+    assert files1 <= files2, "append must never rewrite or drop a file"
+    expect = sorted(tuple(r) for r in base.unionAll(batch).collect())
+    assert _v2_rows(spark, target) == expect
+    # Appended entries are gen-stamped with the commit seq.
+    new_gens = {e["gen"] for e in man2["files"] if e["path"] not in files1}
+    assert new_gens == {int(man2["seq"])}
+
+    with pytest.raises(ValueError, match="does not match table schema"):
+        commit_mod.table_append(
+            spark, target, batch.withColumn("extra", F.lit(1))
+        )
+
+
+def test_table_merge_mor_masks_old_rows_newest_wins(spark, tmp_path):
+    """Merge-on-read upsert: the update batch lands as delta files +
+    tombstones, NO base file is rewritten, and every v2 reader
+    (table_read / table_lookup) sees newest-wins rows — equal to what
+    a copy-on-write scd1 merge would have produced."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    files1 = {e["path"] for e in commit_mod._load_manifest(target)["files"]}
+
+    updates = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    stats = commit_mod.table_merge_mor(spark, target, updates)
+    assert stats["delta_files"] >= 1 and stats["tombstone_files"] >= 1
+    files2 = {e["path"] for e in commit_mod._load_manifest(target)["files"]}
+    assert files1 <= files2, "MoR must not rewrite base files"
+
+    expect = sorted(tuple(r) for r in scd1_merged(base, updates).collect())
+    assert _v2_rows(spark, target) == expect
+
+    # Point lookup applies the same masking.
+    got = commit_mod.table_lookup(spark, target, [0, 50, 3]).collect()
+    by_key = {r["o_orderkey"]: r["o_orderstatus"] for r in got}
+    assert by_key == {0: "U", 50: "U", 3: "O"}
+
+    # Second MoR round over an overlapping key set: newest still wins.
+    updates2 = updates.filter(F.col("o_orderkey") <= 100).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("V").alias("o_orderstatus"),
+        F.lit(2.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates2)
+    expect2 = sorted(
+        tuple(r) for r in scd1_merged(scd1_merged(base, updates), updates2).collect()
+    )
+    assert _v2_rows(spark, target) == expect2
+
+
+def test_table_compact_binpacks_and_applies_tombstones(spark, tmp_path):
+    """Compaction: multi-file buckets collapse to one file per bucket,
+    tombstones are applied and cleared, untouched buckets carried by
+    reference, content bit-identical before/after.  A second compact is
+    a no-op that commits nothing."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    commit_mod.table_append(
+        spark, target, _v2_base(spark).filter(F.col("o_orderkey") >= 395)
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 7).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates)
+
+    before = _v2_rows(spark, target)
+    man_before = commit_mod._load_manifest(target)
+    assert man_before["tombstones"], "fixture must carry live tombstones"
+    seq_before = int(man_before["seq"])
+
+    stats = commit_mod.table_compact(spark, target)
+    assert stats["compacted_buckets"]
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["tombstones_cleared"] == len(man_before["tombstones"])
+
+    man_after = commit_mod._load_manifest(target)
+    assert man_after["tombstones"] == []
+    per_bucket: dict[int, int] = {}
+    for e in man_after["files"]:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    assert _v2_rows(spark, target) == before, "compaction changes no row"
+
+    # No-op second run: no candidates, no new commit.
+    stats2 = commit_mod.table_compact(spark, target)
+    assert stats2["compacted_buckets"] == []
+    assert int(commit_mod._load_manifest(target)["seq"]) == seq_before + 1
+
+
+def test_table_compact_detects_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Compact-under-concurrent-merge (VERDICT r16 #3 'done' bar): a
+    writer landing between compact's manifest read and its commit point
+    must raise ConcurrentCommitError and leave the other writer's
+    commit live (compact's files become aged-out orphans)."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    commit_mod.table_append(
+        spark, target, _v2_base(spark).filter(F.col("o_orderkey") < 20)
+    )
+
+    real_write = commit_mod._write_bucketed
+    raced = {"done": False}
+
+    def racing_write(df, tgt, key, n_buckets, gen=0):
+        entries = real_write(df, tgt, key, n_buckets, gen=gen)
+        if not raced["done"]:
+            raced["done"] = True
+            monkeypatch.undo()
+            commit_mod.table_append(
+                spark,
+                tgt,
+                _v2_base(spark).filter(F.col("o_orderkey") == 399),
+            )
+        return entries
+
+    monkeypatch.setattr(commit_mod, "_write_bucketed", racing_write)
+    with pytest.raises(commit_mod.ConcurrentCommitError):
+        commit_mod.table_compact(spark, target)
+    # The racing append's row is live; the table stays readable.
+    rows = _v2_rows(spark, target)
+    assert sum(1 for r in rows if r[0] == 399) == 2
+
+
+def test_table_merge_refuses_tombstoned_buckets(spark, tmp_path):
+    """CoW merge over a bucket with live MoR tombstones would feed
+    merge_fn RESURRECTED rows — must refuse, naming table_compact."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    updates = base.limit(3).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates)
+    with pytest.raises(ValueError, match="table_compact"):
+        commit_mod.table_merge(spark, target, updates, scd1_merged)
+    # After compaction the CoW merge composes again.
+    commit_mod.table_compact(spark, target)
+    stats = commit_mod.table_merge(spark, target, updates, scd1_merged)
+    assert stats["new_files"] >= 1
+
+
+def test_manifest_stats_prune_range_reads(spark, tmp_path):
+    """File-level min/max stats (VERDICT r16 missing #3): a range
+    predicate on a NON-bucket column must skip files whose recorded
+    bounds cannot intersect it — checked by comparing the pruned
+    entry list — while returning exactly the rows a full scan +
+    filter returns."""
+    target = str(tmp_path / "t")
+    # o_totalprice = key * 1.5 and the key is the bucket key, so each
+    # bucket holds an arbitrary key subset; sort by a SECOND column's
+    # range instead: o_custkey = key % 7 is too uniform, so build a
+    # frame where a range predicate is file-selective: one append per
+    # disjoint price band.
+    lo_band = _v2_base(spark).filter(F.col("o_orderkey") < 100)
+    commit_mod.table_init(lo_band, target, "o_orderkey", n_buckets=2)
+    hi_band = _v2_base(spark).filter(F.col("o_orderkey") >= 300)
+    commit_mod.table_append(spark, target, hi_band)
+
+    man = commit_mod._load_manifest(target)
+    assert all(
+        "o_totalprice" in e["stats"] for e in man["files"]
+    ), "footer stats must be recorded for numeric columns"
+
+    # Range that only the hi band can satisfy: price >= 500.
+    kept = [
+        e
+        for e in man["files"]
+        if commit_mod._stats_overlap(e, "o_totalprice", 500.0, None)
+    ]
+    assert 0 < len(kept) < len(man["files"]), "pruning must skip files"
+    assert {e["gen"] for e in kept} == {1}, "only the hi-band append kept"
+
+    got = sorted(
+        tuple(r)
+        for r in commit_mod.table_read(
+            spark, target, where=("o_totalprice", 500.0, None)
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in lo_band.unionAll(hi_band)
+        .filter(F.col("o_totalprice") >= 500.0)
+        .collect()
+    )
+    assert got == expect
+
+
+def test_table_delete_masks_rows_and_compact_makes_physical(spark, tmp_path):
+    """Tombstone-only delete: O(keys) commit, no data file touched;
+    readers stop seeing the keys immediately; compaction afterwards
+    physically removes the rows and clears the tombstones."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    files1 = {e["path"] for e in commit_mod._load_manifest(target)["files"]}
+
+    stats = commit_mod.table_delete(spark, target, [5, 6, 7])
+    assert stats["tombstone_files"] >= 1
+    man = commit_mod._load_manifest(target)
+    assert {e["path"] for e in man["files"]} == files1, "no data write"
+
+    expect = sorted(
+        tuple(r) for r in base.filter(~F.col("o_orderkey").isin(5, 6, 7)).collect()
+    )
+    assert _v2_rows(spark, target) == expect
+    assert commit_mod.table_lookup(spark, target, [5]).count() == 0
+
+    commit_mod.table_compact(spark, target)
+    assert commit_mod._load_manifest(target)["tombstones"] == []
+    assert _v2_rows(spark, target) == expect

@@ -657,16 +657,30 @@ def test_exact_quantile_guard_fails_fast_past_distinct_cap(spark):
     from pyspark_analytics_library_spark.registry import REGISTRY
 
     fn = REGISTRY["agg_quantile"].fn
+    baseline = sorted(map(tuple, fn(spark, TEST_SF_DIR).collect()))
     spark.conf.set("spark.analytics.quantile.maxLocalStateBytes", "1024")
     try:
+        # Round 17 (VERDICT r16 #7): the DEFAULT over-cap behavior is
+        # now compute-not-refuse — the bounded-state binned path must
+        # return bit-identical rounded results to the native plan.
+        assert sorted(map(tuple, fn(spark, TEST_SF_DIR).collect())) == baseline
+        # onOverCap=error restores the r15/r16 refusal with the
+        # actionable message naming both escape hatches.
+        spark.conf.set("spark.analytics.quantile.onOverCap", "error")
         with pytest.raises(ValueError, match="agg_approx_quantile"):
             fn(spark, TEST_SF_DIR)
+        # The conf parser takes JVM-style size suffixes (ADVICE r16):
+        # '12g' must parse as a cap, not crash with a bare int() error.
+        spark.conf.set("spark.analytics.quantile.maxLocalStateBytes", "12g")
+        assert sorted(map(tuple, fn(spark, TEST_SF_DIR).collect())) == baseline
+        spark.conf.set("spark.analytics.quantile.maxLocalStateBytes", "1024")
         # Bypass switch: plan must build (and run) with the probe off.
         spark.conf.set("spark.analytics.quantile.guard", "false")
         assert fn(spark, TEST_SF_DIR).count() > 0
     finally:
         spark.conf.unset("spark.analytics.quantile.maxLocalStateBytes")
         spark.conf.unset("spark.analytics.quantile.guard")
+        spark.conf.unset("spark.analytics.quantile.onOverCap")
     # Stock cap (256 MB): the fixture estimates a few MB — normal path.
     assert fn(spark, TEST_SF_DIR).count() > 0
 
@@ -684,6 +698,52 @@ def test_exact_quantile_guard_fails_fast_past_distinct_cap(spark):
     sf01_ok = min(583_090 * 8, 600_000) * BPE  # sf0.1 shape, measured fine
     assert ledgered_oom > cap, "default cap must catch the ledgered OOM"
     assert sf01_ok < cap, "default cap must admit the proven-fine sf0.1 run"
+
+
+def test_binned_exact_percentiles_matches_native_exact(spark):
+    """Round 17 (VERDICT r16 #7): the bounded-state binned percentile
+    engine must reproduce Spark's native exact percentile BIT-FOR-BIT
+    (same order statistics, same interpolation float expression) —
+    exercised with small bins/leaf so multiple narrowing rounds and the
+    leaf collect both run, plus interpolating probs that don't land on
+    integer ranks."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        binned_exact_percentiles,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    df = load_tables(spark, TEST_SF_DIR)["lineitem"]
+    probs = [0.5, 0.01, 0.99, 0.25, 0.733]
+    got = binned_exact_percentiles(
+        df, ["l_returnflag"], "l_extendedprice", probs, bins=32, leaf_limit=50
+    )
+    truth = {
+        r[0]: tuple(r[1:])
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.percentile("l_extendedprice", F.lit(p)).alias(f"p{i}")
+                for i, p in enumerate(probs)
+            ]
+        )
+        .collect()
+    }
+    assert set(truth) == {k[0] for k in got}
+    for key, per_prob in got.items():
+        assert tuple(per_prob[p] for p in probs) == truth[key[0]]
+
+    # Degenerate shapes: single row, all-equal values (interval can't
+    # shrink — must resolve via observed min == max, not loop).
+    one = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    assert binned_exact_percentiles(one, ["g"], "v", [0.5, 0.9]) == {
+        ("a",): {0.5: 1.0, 0.9: 1.0}
+    }
+    same = spark.createDataFrame([("a", 7.0)] * 100, "g string, v double")
+    assert binned_exact_percentiles(same, ["g"], "v", [0.25], bins=8) == {
+        ("a",): {0.25: 7.0}
+    }
 
 
 def test_triangle_census_fails_fast_past_work_cap(spark, tmp_path):
@@ -1311,3 +1371,29 @@ def test_money_decimal_cross_engine_exact(spark, oracle):
         if Decimal(a) != Decimal(b)
     ]
     assert mismatch == [], f"{len(mismatch)} per-row divergences, first: {mismatch[:3]}"
+
+
+def test_binned_percentiles_one_ulp_stall_resolves_via_leaf(spark):
+    """Pathological narrowing shape: the two bracketing order
+    statistics are ADJACENT DOUBLES, so after one round the candidate
+    interval [v, nextafter(v)] can never shrink — the engine must
+    detect the stall and resolve through the leaf collect (bounded by
+    the candidate count) instead of spinning max_rounds histograms."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        binned_exact_percentiles,
+    )
+
+    v1, v2 = 1.0, _math.nextafter(1.0, 2.0)
+    rows = [("g", v1)] * 100 + [("g", v2)] * 100
+    df = spark.createDataFrame(rows, "g string, v double")
+    # rank = 0.5 * 199 = 99.5 -> k1=99 (v1), k2=100 (v2): the covering
+    # bin range spans both values, interval cannot shrink.
+    got = binned_exact_percentiles(
+        df, ["g"], "v", [0.5], bins=16, leaf_limit=10, max_rounds=5
+    )
+    want = df.groupBy("g").agg(F.percentile("v", F.lit(0.5))).collect()[0][1]
+    assert got == {("g",): {0.5: want}}

@@ -623,79 +623,89 @@ def binned_exact_percentiles(
     selection-problem algorithm — e.g. Blum et al.'s selection bounds
     carried to histograms; same shape as t-digest's exact fallback):
 
-    1. one aggregate per round bins each group's candidate interval
-       into ``bins`` equal-width ranges — per-task state is a fixed
-       ``units x bins`` count array regardless of input size (map-side
-       combinable ordinary groupBy);
+    1. one aggregate per round bins each search unit's candidate
+       interval into ``bins`` equal-width ranges — per-task state is a
+       fixed ``units x bins`` count array regardless of input size
+       (map-side combinable ordinary groupBy);
     2. the driver walks the (bounded, <= units x bins rows) histogram
-       to find which bin holds each target rank, accumulates the exact
-       count below it, and narrows the interval to that bin's OBSERVED
-       [min, max] — duplicates collapse the interval in one step;
+       to find the ONE bin holding the unit's target rank, accumulates
+       the exact count below it, and narrows the interval to that
+       bin's OBSERVED [min, max] — duplicates collapse the interval in
+       one step;
     3. when a unit's candidate count is <= ``leaf_limit``, ONE final
        filtered pass collects just those candidate values (bounded by
        units x leaf_limit, the only value-sized collect) and the order
-       statistics are read off the sorted leaf.
+       statistic is read off the sorted leaf.
 
-    Convergence: each round the candidate set shrinks ~bins-fold (6 M
-    rows -> leaf in one round at bins=4096), so rounds ~
-    ceil(log_bins(n / leaf_limit)) + stall slack; a unit whose interval
-    stops shrinking (all-equal candidates) resolves immediately via
-    observed min == max.
+    A search unit hunts a SINGLE order statistic k (review r17: units
+    covering a prob's two bracketing ranks at once could stall on an
+    unshrinkable interval — the ranks straddling nearly the whole
+    distribution — and previously fell back to an UNBOUNDED leaf
+    collect, breaking the never-OOM contract).  A single-rank unit's
+    covering range is exactly one bin, whose observed [min, max] is at
+    most ~1/bins of the interval, so every round either resolves the
+    unit (bin min == max) or shrinks its interval >= bins-fold: rounds
+    <= ceil(log_bins(span / ULP)) ~ 6 at bins=4096, no stall path
+    exists, and the leaf collect is genuinely <= leaf_limit.  The one
+    degenerate case — the interval so narrow that the bin width
+    UNDERFLOWS to 0.0 — holds at most ~bins representable doubles, and
+    resolves through an exact per-VALUE histogram (bounded by the
+    same arithmetic).  Group-key joins are null-safe (NULL is an
+    ordinary SQL group).
 
-    Returns ``{group_key_tuple: {prob: value}}`` with the same
-    interpolation as ``percentile_cont`` (v1 + frac x (v2 - v1) between
-    the two bracketing order statistics).  NULLs are ignored per SQL
-    semantics; an empty group yields ``None``.
+    Returns ``{group_key_tuple: {prob: value}}`` for EVERY group in
+    ``df`` (including all-NULL-value groups, which yield ``None`` —
+    matching native percentile's row set) with the same interpolation
+    as ``percentile_cont``.  NULLs are ignored per SQL semantics.
     """
     import math
 
     spark = df.sparkSession
-    base = (
-        df.select(*by, F.col(col).cast("double").alias("_v"))
-        .filter(F.col("_v").isNotNull())
-    )
+    pre = df.select(*by, F.col(col).cast("double").alias("_v"))
+    base = pre.filter(F.col("_v").isNotNull())
     g0 = (
-        base.groupBy(*by)
+        pre.groupBy(*by)
         .agg(
-            F.count("_v").alias("_n"),
+            F.count("_v").alias("_n"),  # non-null count; 0 => None cells
             F.min("_v").alias("_mn"),
             F.max("_v").alias("_mx"),
         )
         .collect()  # bounded: one row per group
     )
 
-    # One search unit per (group, prob): interval + exact rank bookkeeping.
+    # One search unit per (group, ORDER STATISTIC): adjacent probs
+    # share ranks, integral ranks need only one.
     units: list[dict] = []
-    results: dict[tuple, dict[float, float | None]] = {}
+    group_n: dict[tuple, int] = {}
+    found: dict[tuple, dict[int, float]] = {}
     for r in g0:
         key = tuple(r[c] for c in by)
-        results.setdefault(key, {})
         n = r["_n"]
-        for p in probs:
-            rank = p * (n - 1)
-            k1, k2 = math.floor(rank), math.ceil(rank)
-            u = {
-                "key": key,
-                "p": p,
-                "rank": rank,
-                "k1": k1,
-                "k2": k2,
-                "lo": float(r["_mn"]),
-                "hi": float(r["_mx"]),
-                "below": 0,  # exact count of rows < current interval
-                "cand": n,
-                "vals": None,  # (v_k1, v_k2) once resolved
+        group_n[key] = n
+        found[key] = {}
+        if n == 0:
+            continue
+        lo, hi = float(r["_mn"]), float(r["_mx"])
+        needed = sorted(
+            {
+                k
+                for p in probs
+                for k in (math.floor(p * (n - 1)), math.ceil(p * (n - 1)))
             }
-            if u["lo"] == u["hi"]:
-                u["vals"] = (u["lo"], u["lo"])
-            units.append(u)
+        )
+        for k in needed:
+            if lo == hi:
+                found[key][k] = lo
+            else:
+                units.append(
+                    {"key": key, "k": k, "lo": lo, "hi": hi, "below": 0, "cand": n}
+                )
 
-    key_schema = base.select(*by).schema
+    key_schema = pre.select(*by).schema
 
-    def _histogram(active: list[dict]):
-        """One distributed pass: per-unit equal-width bin counts plus
-        observed per-bin min/max.  Driver receives <= len(active) x bins
-        rows — bounded by construction, never data-sized."""
+    def _bounds_join(active: list[dict]):
+        """base rows matched to their unit's interval — group-key match
+        is NULL-SAFE (a NULL group key is one ordinary group)."""
         from pyspark.sql.types import (
             DoubleType,
             IntegerType,
@@ -705,107 +715,102 @@ def binned_exact_percentiles(
 
         uschema = StructType(
             [StructField("_uid", IntegerType(), False)]
-            + list(key_schema.fields)
             + [
-                StructField("_lo", DoubleType(), False),
-                StructField("_hi", DoubleType(), False),
+                StructField(f"_k{i}", f.dataType)
+                for i, f in enumerate(key_schema.fields)
             ]
-        )
-        udf_rows = [
-            (i, *u["key"], u["lo"], u["hi"]) for i, u in enumerate(active)
-        ]
-        bounds = spark.createDataFrame(udf_rows, uschema)
-        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
-        b = F.least(
-            F.floor((F.col("_v") - F.col("_lo")) / w).cast("int"),
-            F.lit(bins - 1),
-        )
-        return (
-            base.join(F.broadcast(bounds), on=by)
-            .filter(F.col("_v").between(F.col("_lo"), F.col("_hi")))
-            .groupBy("_uid", b.alias("_b"))
-            .agg(
-                F.count("_v").alias("_c"),
-                F.min("_v").alias("_bmn"),
-                F.max("_v").alias("_bmx"),
-            )
-            .collect()
-        )
-
-    for _ in range(max_rounds):
-        active = [u for u in active_units(units, leaf_limit)]
-        if not active:
-            break
-        hist = _histogram(active)
-        per_unit: dict[int, list] = {}
-        for row in hist:
-            per_unit.setdefault(row["_uid"], []).append(row)
-        progressed = False
-        for uid, u in enumerate(active):
-            bins_sorted = sorted(per_unit.get(uid, []), key=lambda r: r["_b"])
-            # Locate the bin range covering both needed ranks.
-            cum = u["below"]
-            first = last = None
-            for row in bins_sorted:
-                span = (cum, cum + row["_c"])  # ranks [span0, span1)
-                if first is None and u["k1"] < span[1]:
-                    first = (row, cum)
-                if u["k2"] < span[1]:
-                    last = row
-                    break
-                cum += row["_c"]
-            if first is None or last is None:  # defensive: can't happen
-                u["cand"] = 0
-                u["vals"] = (None, None)
-                continue
-            frow, fbelow = first
-            covering = [
-                r
-                for r in bins_sorted
-                if frow["_b"] <= r["_b"] <= last["_b"]
-            ]
-            new_lo = min(r["_bmn"] for r in covering)
-            new_hi = max(r["_bmx"] for r in covering)
-            new_cand = sum(r["_c"] for r in covering)
-            if new_lo == new_hi:
-                u["vals"] = (new_lo, new_hi)
-                continue
-            if (new_lo, new_hi, new_cand) == (u["lo"], u["hi"], u["cand"]):
-                # Interval can no longer shrink (values straddle one
-                # float ULP); force leaf resolution regardless of size.
-                u["force_leaf"] = True
-                continue
-            u["lo"], u["hi"] = new_lo, new_hi
-            u["below"], u["cand"] = fbelow, new_cand
-            progressed = True
-        if not progressed:
-            break
-
-    # Leaf pass: collect candidate values for every unresolved unit.
-    leaves = [u for u in units if u["vals"] is None]
-    if leaves:
-        from pyspark.sql.types import (
-            DoubleType,
-            IntegerType,
-            StructField,
-            StructType,
-        )
-
-        uschema = StructType(
-            [StructField("_uid", IntegerType(), False)]
-            + list(key_schema.fields)
             + [
                 StructField("_lo", DoubleType(), False),
                 StructField("_hi", DoubleType(), False),
             ]
         )
         bounds = spark.createDataFrame(
-            [(i, *u["key"], u["lo"], u["hi"]) for i, u in enumerate(leaves)],
+            [(i, *u["key"], u["lo"], u["hi"]) for i, u in enumerate(active)],
             uschema,
         )
-        got = (
-            base.join(F.broadcast(bounds), on=by)
+        cond = F.lit(True)
+        for i, c in enumerate(by):
+            cond = cond & base[c].eqNullSafe(bounds[f"_k{i}"])
+        return (
+            base.join(F.broadcast(bounds), cond)
             .filter(F.col("_v").between(F.col("_lo"), F.col("_hi")))
+        )
+
+    def _resolve_degenerate(degen: list[dict]) -> None:
+        """Bin width underflowed to 0.0: the interval holds at most
+        ~bins representable doubles, so an exact per-VALUE histogram is
+        bounded — resolve the rank from it directly."""
+        rows = (
+            _bounds_join(degen)
+            .groupBy("_uid", "_v")
+            .agg(F.count("_v").alias("_c"))
+            .collect()
+        )
+        per_unit: dict[int, list] = {}
+        for row in rows:
+            per_unit.setdefault(row["_uid"], []).append(row)
+        for uid, u in enumerate(degen):
+            cum = u["below"]
+            for row in sorted(per_unit.get(uid, []), key=lambda r: r["_v"]):
+                if u["k"] < cum + row["_c"]:
+                    found[u["key"]][u["k"]] = row["_v"]
+                    break
+                cum += row["_c"]
+
+    for _ in range(max_rounds):
+        pending = [
+            u
+            for u in units
+            if u["k"] not in found[u["key"]] and u["cand"] > leaf_limit
+        ]
+        degen = [u for u in pending if (u["hi"] - u["lo"]) / bins == 0.0]
+        if degen:
+            _resolve_degenerate(degen)
+            pending = [u for u in pending if u["k"] not in found[u["key"]]]
+        if not pending:
+            break
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        b = F.least(
+            F.floor((F.col("_v") - F.col("_lo")) / w).cast("int"),
+            F.lit(bins - 1),
+        )
+        hist = (
+            _bounds_join(pending)
+            .groupBy("_uid", b.alias("_b"))
+            .agg(
+                F.count("_v").alias("_c"),
+                F.min("_v").alias("_bmn"),
+                F.max("_v").alias("_bmx"),
+            )
+            .collect()  # bounded: <= units x bins rows
+        )
+        per_unit: dict[int, list] = {}
+        for row in hist:
+            per_unit.setdefault(row["_uid"], []).append(row)
+        for uid, u in enumerate(pending):
+            cum = u["below"]
+            for row in sorted(per_unit.get(uid, []), key=lambda r: r["_b"]):
+                if u["k"] < cum + row["_c"]:
+                    if row["_bmn"] == row["_bmx"]:
+                        found[u["key"]][u["k"]] = row["_bmn"]
+                    else:
+                        u["lo"], u["hi"] = row["_bmn"], row["_bmx"]
+                        u["below"], u["cand"] = cum, row["_c"]
+                    break
+                cum += row["_c"]
+
+    # Leaf pass: collect candidate values for every unresolved unit —
+    # genuinely <= units x leaf_limit by the loop's exit condition.
+    leaves = [u for u in units if u["k"] not in found[u["key"]]]
+    if any(u["cand"] > leaf_limit for u in leaves):  # defensive: see above
+        raise RuntimeError(
+            "binned_exact_percentiles failed to converge within "
+            f"max_rounds={max_rounds}; raise max_rounds (rounds needed "
+            "~ log_bins(value span / ULP) ~ 6 at bins=4096)"
+        )
+    if leaves:
+        got = (
+            _bounds_join(leaves)
             .select("_uid", "_v")
             .collect()  # bounded: <= len(leaves) x leaf_limit values
         )
@@ -814,37 +819,27 @@ def binned_exact_percentiles(
             by_uid.setdefault(row["_uid"], []).append(row["_v"])
         for uid, u in enumerate(leaves):
             vals = sorted(by_uid.get(uid, []))
-            i1, i2 = u["k1"] - u["below"], u["k2"] - u["below"]
-            u["vals"] = (vals[i1], vals[i2])
+            found[u["key"]][u["k"]] = vals[u["k"] - u["below"]]
 
-    for u in units:
-        v1, v2 = u["vals"]
-        if v1 is None:
-            results[u["key"]][u["p"]] = None
-        elif u["k1"] == u["k2"]:
-            results[u["key"]][u["p"]] = v1
-        else:
-            # Spark Percentile's exact float expression
-            # ((higher-pos)*lower + (pos-lower)*higher) — NOT the
-            # algebraically-equal v1 + frac*(v2-v1), which differs in
-            # the last ULP and would diverge pre-rounding.
-            rank = u["rank"]
-            results[u["key"]][u["p"]] = (u["k2"] - rank) * v1 + (
-                rank - u["k1"]
-            ) * v2
+    results: dict[tuple, dict[float, float | None]] = {}
+    for key, n in group_n.items():
+        results[key] = {}
+        for p in probs:
+            if n == 0:
+                results[key][p] = None
+                continue
+            rank = p * (n - 1)
+            k1, k2 = math.floor(rank), math.ceil(rank)
+            v1, v2 = found[key][k1], found[key][k2]
+            if k1 == k2:
+                results[key][p] = v1
+            else:
+                # Spark Percentile's exact float expression
+                # ((higher-pos)*lower + (pos-lower)*higher) — NOT the
+                # algebraically-equal v1 + frac*(v2-v1), which differs
+                # in the last ULP and would diverge pre-rounding.
+                results[key][p] = (k2 - rank) * v1 + (rank - k1) * v2
     return results
-
-
-def active_units(units: list[dict], leaf_limit: int) -> list[dict]:
-    """Units still narrowing: unresolved, above the leaf size, and not
-    stalled at a one-ULP interval."""
-    return [
-        u
-        for u in units
-        if u["vals"] is None
-        and u["cand"] > leaf_limit
-        and not u.get("force_leaf")
-    ]
 
 
 @query(

@@ -220,12 +220,20 @@ _STATS_OK = ("int", "uint", "float", "double", "string", "large_string",
 
 def _json_stat(v):
     """A parquet footer statistic as a JSON value whose natural Python
-    ordering matches the column ordering (datetimes → ISO strings,
-    which sort lexicographically = chronologically at fixed width)."""
+    ordering matches the column ordering.  Datetimes are normalized to
+    a FIXED-WIDTH tz-less UTC ISO string (review r17: bare
+    ``isoformat()`` appends offsets and drops zero microseconds, so a
+    tz-aware footer stat vs a naive query bound compared lexicographic-
+    ally could lossily prune a live file); naive inputs are taken as
+    UTC — the engine's session timezone."""
     import datetime
 
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()  # already fixed-width YYYY-MM-DD
     if isinstance(v, bytes):
         return None  # undecoded binary: order not JSON-preservable
     return v
@@ -678,10 +686,15 @@ def _stats_overlap(entry: dict, col: str, lo, hi) -> bool:
         return True
     mn, mx = st
     lo_e, hi_e = _json_stat(lo), _json_stat(hi)
-    if hi_e is not None and mn > hi_e:
-        return False
-    if lo_e is not None and mx < lo_e:
-        return False
+    try:
+        if hi_e is not None and mn > hi_e:
+            return False
+        if lo_e is not None and mx < lo_e:
+            return False
+    except TypeError:
+        # Bound type incomparable with the recorded stat encoding
+        # (e.g. a numeric bound against string stats): unknown → keep.
+        return True
     return True
 
 
@@ -949,6 +962,11 @@ def table_append(spark, target: str, rows: DataFrame) -> dict:
     entries = _write_bucketed(
         rows, target, man["bucket_key"], int(man["n_buckets"]), gen=new_seq
     )
+    if not entries:
+        # Empty batch: no-op, no commit (review r17 — same discipline
+        # as table_compact; a no-op generation would evict a retained
+        # time-travel manifest for nothing).
+        return {"new_files": 0, "total_files": len(man["files"])}
     manifest = dict(man, files=man["files"] + entries, seq=new_seq)
     _commit_manifest(target, manifest, expect_current=base_name)
     return {"new_files": len(entries), "total_files": len(manifest["files"])}
@@ -994,8 +1012,28 @@ def table_merge_mor(spark, target: str, updates: DataFrame) -> dict:
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
     new_seq = int(man.get("seq", -1)) + 1
     entries = _write_bucketed(updates, target, key, n_buckets, gen=new_seq)
+    if not entries:
+        # Empty batch: commit nothing (same no-op discipline as
+        # table_compact — never burn a retention generation for a
+        # commit that changes no row).
+        return {
+            "delta_files": 0,
+            "tombstone_files": 0,
+            "live_tombstone_files": len(man.get("tombstones", [])),
+        }
+    # Tombstone keys are derived by READING BACK the just-written delta
+    # files, not by re-evaluating the updates lineage (review r17): a
+    # non-deterministic batch source re-executed for the tombstone
+    # write could emit a DIFFERENT key set — keys tombstoned without a
+    # delta row are silent deletes, delta rows without a tombstone
+    # leave the stale base row alive as a duplicate.  The written files
+    # are the one authoritative evaluation (and re-reading the
+    # batch-sized deltas is cheaper than re-running the batch plan).
+    delta_keys = spark.read.schema(schema).parquet(
+        *[os.path.join(target, e["path"]) for e in entries]
+    ).select(key)
     tomb_entries = _write_bucketed(
-        updates.select(key), target, key, n_buckets, gen=new_seq
+        delta_keys, target, key, n_buckets, gen=new_seq
     )
     manifest = dict(
         man,
@@ -1041,10 +1079,13 @@ def table_compact(
     for e in man["files"]:
         per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
     tomb_buckets = {t["bucket"] for t in man.get("tombstones", [])}
+    # tomb_buckets unioned separately (review r17): a tombstone can
+    # live in a bucket with ZERO data files (table_delete of an absent
+    # key) — iterating per_bucket alone would never clear it, leaving
+    # readers paying its anti-join and table_merge refusing the bucket
+    # forever.
     candidates = sorted(
-        b
-        for b, n in per_bucket.items()
-        if n >= min_files or b in tomb_buckets
+        {b for b, n in per_bucket.items() if n >= min_files} | tomb_buckets
     )
     if max_buckets is not None:
         candidates = candidates[:max_buckets]
@@ -1105,6 +1146,13 @@ def table_delete(spark, target: str, keys: list) -> dict:
     tomb_entries = _write_bucketed(
         kdf, target, key, int(man["n_buckets"]), gen=new_seq
     )
+    if not tomb_entries:
+        # Empty key list: no-op, no commit (review r17 — a no-op
+        # generation would burn a retention slot for nothing).
+        return {
+            "tombstone_files": 0,
+            "live_tombstone_files": len(man.get("tombstones", [])),
+        }
     manifest = dict(
         man,
         tombstones=man.get("tombstones", []) + tomb_entries,

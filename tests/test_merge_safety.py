@@ -1011,3 +1011,72 @@ def test_table_delete_masks_rows_and_compact_makes_physical(spark, tmp_path):
     commit_mod.table_compact(spark, target)
     assert commit_mod._load_manifest(target)["tombstones"] == []
     assert _v2_rows(spark, target) == expect
+
+
+def test_compact_clears_tombstone_in_fileless_bucket(spark, tmp_path):
+    """Review r17: a tombstone can land in a bucket with ZERO data
+    files (deleting an absent key).  Compaction must still select that
+    bucket and clear the tombstone — otherwise reads pay its anti-join
+    forever and CoW merges of that bucket deadlock on the refusal."""
+    target = str(tmp_path / "t")
+    # 3 keys into 64 buckets: almost every bucket is file-less.
+    base = _v2_base(spark).filter(F.col("o_orderkey") < 3)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=64)
+    data_buckets = {
+        e["bucket"] for e in commit_mod._load_manifest(target)["files"]
+    }
+    # A key whose bucket holds no data file:
+    probe = spark.range(1000).select(
+        F.col("id").alias("k"),
+        commit_mod._bucket_expr("k", 64).alias("b"),
+    )
+    absent = next(
+        r["k"] for r in probe.collect() if r["b"] not in data_buckets
+    )
+    commit_mod.table_delete(spark, target, [int(absent)])
+    man = commit_mod._load_manifest(target)
+    assert man["tombstones"], "tombstone must be recorded"
+    assert all(
+        t["bucket"] not in data_buckets for t in man["tombstones"]
+    ), "fixture must hit a file-less bucket"
+
+    stats = commit_mod.table_compact(spark, target, min_files=99)
+    assert stats["tombstones_cleared"] == len(man["tombstones"])
+    assert commit_mod._load_manifest(target)["tombstones"] == []
+    assert _v2_rows(spark, target) == sorted(tuple(r) for r in base.collect())
+
+
+def test_empty_maintenance_batches_commit_nothing(spark, tmp_path):
+    """Review r17: empty delete/append/MoR batches must be no-ops —
+    committing a no-change generation would evict a retained
+    time-travel manifest for nothing."""
+    target = str(tmp_path / "t")
+    commit_mod.table_init(_v2_base(spark), target, "o_orderkey", n_buckets=4)
+    seq0 = int(commit_mod._load_manifest(target)["seq"])
+
+    assert commit_mod.table_delete(spark, target, [])["tombstone_files"] == 0
+    empty = _v2_base(spark).filter(F.lit(False))
+    assert commit_mod.table_append(spark, target, empty)["new_files"] == 0
+    assert commit_mod.table_merge_mor(spark, target, empty)["delta_files"] == 0
+    assert int(commit_mod._load_manifest(target)["seq"]) == seq0
+
+
+def test_json_stat_timestamp_encoding_is_ordering_safe():
+    """Review r17: datetime stats must encode to a FIXED-WIDTH tz-less
+    UTC string — aware vs naive representations of the same instant
+    must encode identically, and zero microseconds must not shorten
+    the string (lexicographic order == chronological order)."""
+    import datetime as dt
+
+    aware = dt.datetime(2020, 1, 1, 5, 0, 0, tzinfo=dt.timezone.utc)
+    naive_same_instant = dt.datetime(2020, 1, 1, 5, 0, 0)
+    a = commit_mod._json_stat(aware)
+    b = commit_mod._json_stat(naive_same_instant)
+    assert a == b == "2020-01-01T05:00:00.000000"
+    # offset-bearing input normalizes to UTC before encoding
+    est = dt.timezone(dt.timedelta(hours=-5))
+    c = commit_mod._json_stat(dt.datetime(2020, 1, 1, 0, 0, 0, tzinfo=est))
+    assert c == a
+    # fixed width holds with microseconds
+    d = commit_mod._json_stat(dt.datetime(2020, 1, 1, 5, 0, 0, 123))
+    assert len(d) == len(a) and d > a

@@ -1397,3 +1397,109 @@ def test_binned_percentiles_one_ulp_stall_resolves_via_leaf(spark):
     )
     want = df.groupBy("g").agg(F.percentile("v", F.lit(0.5))).collect()[0][1]
     assert got == {("g",): {0.5: want}}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_binned_percentiles_randomized_vs_python_twin(spark, seed):
+    """Randomized shapes (heavy duplicates / negatives / skewed tails,
+    per-group sizes that don't divide evenly) against an independent
+    pure-Python twin implementing percentile_cont over the sorted
+    values with Spark's own interpolation expression — exact equality,
+    no tolerance."""
+    import math as _math
+    import random
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        binned_exact_percentiles,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    values: dict[str, list[float]] = {"a": [], "b": [], "c": []}
+    for g, n in (("a", 1 + rng.randrange(500)), ("b", 997), ("c", 3)):
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.4:
+                v = float(rng.randrange(10))  # heavy duplicates
+            elif r < 0.7:
+                v = -rng.expovariate(0.01)  # negative skewed tail
+            else:
+                v = rng.gauss(1e6, 1e4)
+            rows.append((g, v))
+            values[g].append(v)
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [0.0, 1.0, 0.5, rng.random(), rng.random()]
+    got = binned_exact_percentiles(
+        df, ["g"], "v", probs, bins=64, leaf_limit=20, max_rounds=30
+    )
+
+    def twin(vals, p):
+        s = sorted(vals)
+        rank = p * (len(s) - 1)
+        k1, k2 = _math.floor(rank), _math.ceil(rank)
+        if k1 == k2:
+            return s[k1]
+        return (k2 - rank) * s[k1] + (rank - k1) * s[k2]
+
+    for g, vals in values.items():
+        for p in probs:
+            assert got[(g,)][p] == twin(vals, p), (g, p)
+
+
+def test_binned_percentiles_null_group_key_and_all_null_values(spark):
+    """Review r17: a NULL group key is an ordinary SQL group (the
+    histogram join must be null-safe), and a group whose values are
+    all NULL must appear in the result map with None cells — matching
+    native percentile's row set."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        binned_exact_percentiles,
+    )
+
+    rows = (
+        [(None, float(i)) for i in range(100)]
+        + [("a", float(i) * 2) for i in range(50)]
+        + [("allnull", None)] * 5
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = binned_exact_percentiles(
+        df, ["g"], "v", [0.5, 0.3], bins=8, leaf_limit=10
+    )
+    truth = {
+        r["g"]: (r["p50"], r["p30"])
+        for r in df.groupBy("g")
+        .agg(
+            F.percentile("v", F.lit(0.5)).alias("p50"),
+            F.percentile("v", F.lit(0.3)).alias("p30"),
+        )
+        .collect()
+    }
+    assert set(got) == {(None,), ("a",), ("allnull",)}
+    for key, per_prob in got.items():
+        assert (per_prob[0.5], per_prob[0.3]) == truth[key[0]], key
+
+
+def test_binned_percentiles_two_value_bulk_straddle_stays_bounded(spark):
+    """Review r17 scenario: a large group of exactly two values with
+    an even count and p=0.5 — the bracketing ranks sit in the two
+    value masses, which under per-(prob) units stalled the interval
+    and forced an UNBOUNDED leaf collect.  Per-rank units must resolve
+    both order statistics from single-valued bins (no leaf at all) and
+    return the exact interpolation, with leaf_limit far below the
+    group size."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.aggregates import (
+        binned_exact_percentiles,
+    )
+
+    df = spark.range(20000).select(
+        F.lit("g").alias("g"),
+        F.when(F.col("id") % 2 == 0, 0.0).otherwise(1.0).alias("v"),
+    )
+    got = binned_exact_percentiles(
+        df, ["g"], "v", [0.5], bins=16, leaf_limit=50, max_rounds=10
+    )
+    want = df.groupBy("g").agg(F.percentile("v", F.lit(0.5))).collect()[0][1]
+    assert got == {("g",): {0.5: want}}

@@ -37,12 +37,14 @@ WHITELIST = {
     # plus exact_quantile_guard's 1-row approx_count_distinct probe
     # (HLL sketch — fixed-size state and a single output row at any
     # input scale, VERDICT r15 #2); plus binned_exact_percentiles'
-    # three bounded collects (round 17, VERDICT r16 #7): per-group
+    # four bounded collects (round 17, VERDICT r16 #7): per-group
     # count/min/max (one row per group), the per-round histogram
-    # (≤ units × bins rows — fixed by conf, never data-sized), and
-    # the leaf candidate pull (≤ units × leaf_limit values, the
-    # documented final order-statistic read)
-    "operators/aggregates.py": 6,
+    # (≤ units × bins rows — fixed by conf, never data-sized), the
+    # degenerate per-VALUE histogram (≤ ~bins representable doubles
+    # in an underflowed-width interval), and the leaf candidate pull
+    # (≤ units × leaf_limit values, the final order-statistic read —
+    # per-rank units make that bound unconditional, review r17)
+    "operators/aggregates.py": 7,
     # dim probe (1 row) + IndexTooLargeError-gated index build +
     # IVF centroid sample's three driver pulls (the limit(sample+1)
     # small-table probe — CollectLimit, driver-bounded at sample+1 rows

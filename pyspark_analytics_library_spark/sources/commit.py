@@ -1163,3 +1163,54 @@ def table_delete(spark, target: str, keys: list) -> dict:
         "tombstone_files": len(tomb_entries),
         "live_tombstone_files": len(manifest["tombstones"]),
     }
+
+
+def table_add_columns(spark, target: str, new_fields) -> dict:
+    """ADDITIVE schema evolution as a METADATA-ONLY commit (round 17):
+    append nullable columns to the table schema without touching one
+    data file — the Iceberg/Delta "add column" semantics.  Existing
+    files simply lack the column; every v2 reader already enforces the
+    manifest-recorded schema on the scan, and Spark's parquet reader
+    fills fields absent from a file with NULL, so old rows read as
+    NULL in the new column and the next merge/append writes it.
+
+    ``new_fields`` is a list of ``StructField`` (or a ``StructType``);
+    each must be nullable (existing rows HAVE no value — a non-null
+    add would be a lie the reader cannot honor) and must not collide
+    with an existing column or the reserved ``bucket`` name.  Commit
+    cost: one manifest write + pointer swap, O(1) in table size.
+    Optimistic concurrency as everywhere.
+
+    Dropping/renaming/retyping stays a whole-table re-seed
+    (``table_init``): those change what existing BYTES mean, which a
+    carried-by-reference file layout cannot re-interpret safely.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    base_name = _live_manifest_name(target)
+    man = _load_manifest(target)
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    fields = list(new_fields.fields) if isinstance(new_fields, StructType) else list(new_fields)
+    if not fields:
+        return {"added": [], "schema": schema.simpleString()}
+    existing = {f.name for f in schema.fields}
+    for f in fields:
+        if f.name in existing or f.name == "bucket":
+            raise ValueError(
+                f"table_add_columns: column {f.name!r} already exists "
+                "(or is the reserved bucket-routing name)"
+            )
+        if not f.nullable:
+            raise ValueError(
+                f"table_add_columns: {f.name!r} must be nullable — "
+                "existing rows have no value for it; backfill with a "
+                "merge after adding it as nullable"
+            )
+    evolved = StructType(schema.fields + fields)
+    manifest = dict(
+        man, schema=evolved.json(), seq=int(man.get("seq", -1)) + 1
+    )
+    _commit_manifest(target, manifest, expect_current=base_name)
+    return {"added": [f.name for f in fields], "schema": evolved.simpleString()}

@@ -1080,3 +1080,77 @@ def test_json_stat_timestamp_encoding_is_ordering_safe():
     # fixed width holds with microseconds
     d = commit_mod._json_stat(dt.datetime(2020, 1, 1, 5, 0, 0, 123))
     assert len(d) == len(a) and d > a
+
+
+def test_table_add_columns_metadata_only_evolution(spark, tmp_path):
+    """Round 17: additive schema evolution is a manifest-only commit —
+    zero data files touched; old rows read NULL in the new column; the
+    next append writes it; non-nullable or colliding adds refuse."""
+    from pyspark.sql.types import DoubleType, StringType, StructField
+
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    files1 = {e["path"] for e in commit_mod._load_manifest(target)["files"]}
+
+    stats = commit_mod.table_add_columns(
+        spark, target, [StructField("o_channel", StringType(), True)]
+    )
+    assert stats["added"] == ["o_channel"]
+    man = commit_mod._load_manifest(target)
+    assert {e["path"] for e in man["files"]} == files1, "metadata-only"
+
+    got = commit_mod.table_read(spark, target)
+    assert got.columns[-1] == "o_channel"
+    assert got.filter(F.col("o_channel").isNotNull()).count() == 0
+
+    # The next append carries the evolved shape and writes the column.
+    batch = _v2_base(spark).filter(F.col("o_orderkey") >= 398).withColumn(
+        "o_channel", F.lit("web")
+    )
+    commit_mod.table_append(spark, target, batch)
+    got2 = commit_mod.table_read(spark, target)
+    assert got2.filter(F.col("o_channel") == "web").count() == 2
+    assert got2.count() == 402
+
+    # Refusals: non-nullable add; name collision; old-shape append.
+    with pytest.raises(ValueError, match="nullable"):
+        commit_mod.table_add_columns(
+            spark, target, [StructField("x", DoubleType(), False)]
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        commit_mod.table_add_columns(
+            spark, target, [StructField("o_channel", StringType(), True)]
+        )
+    with pytest.raises(ValueError, match="does not match table schema"):
+        commit_mod.table_append(spark, target, _v2_base(spark).limit(1))
+
+
+def test_table_compact_max_buckets_incremental_window(spark, tmp_path):
+    """max_buckets bounds one maintenance run: remaining candidates
+    keep their tombstones (masking is per-bucket so reads stay
+    correct), and a follow-up compact finishes the job."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates)
+    before = _v2_rows(spark, target)
+    n_tombs = len(commit_mod._load_manifest(target)["tombstones"])
+    assert n_tombs >= 2
+
+    s1 = commit_mod.table_compact(spark, target, max_buckets=1)
+    assert len(s1["compacted_buckets"]) == 1
+    man_mid = commit_mod._load_manifest(target)
+    assert man_mid["tombstones"], "uncompacted buckets keep tombstones"
+    assert _v2_rows(spark, target) == before, "reads correct mid-window"
+
+    s2 = commit_mod.table_compact(spark, target)
+    assert s1["tombstones_cleared"] + s2["tombstones_cleared"] == n_tombs
+    assert commit_mod._load_manifest(target)["tombstones"] == []
+    assert _v2_rows(spark, target) == before

@@ -707,3 +707,28 @@ def test_no_query_plans_a_shuffled_cartesian(spark):
     assert not offenders, (
         f"shuffled CartesianProduct planned by: {offenders}"
     )
+
+
+def test_mor_masked_read_is_broadcast_anti_join(spark, tmp_path):
+    """Round 17: the merge-on-read masked scan must plan the tombstone
+    mask as a BROADCAST anti-join (tombstones are update-batch-sized by
+    construction; a sort-merge there would shuffle the whole table per
+    read), and a table with no tombstones must plan a PLAIN scan —
+    zero joins, the mask is pay-for-what-you-use."""
+    from pyspark_analytics_library_spark.sources import commit as cm
+
+    target = str(tmp_path / "t")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    cm.table_init(base, target, "k", n_buckets=4)
+
+    clean = cm.table_read(spark, target)
+    text = plan_text(clean)
+    assert "Join" not in text, "no-tombstone read must not plan a join"
+
+    cm.table_delete(spark, target, [1, 2, 3])
+    masked = cm.table_read(spark, target)
+    text = plan_text(masked)
+    assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
+    assert masked.count() == 1997

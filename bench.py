@@ -297,9 +297,14 @@ def main() -> None:
         # of identical code).  Best-of-7 for rows whose reference is
         # under 0.5 s makes one clean collect among seven suffice —
         # the extra reps cost < 10 s total across the fast rows.
-        # Slow/iterative rows keep best-of-3 (their bar-gap dwarfs the
-        # noise, and extra reps there would add minutes).
-        return 7 if REFERENCE.get(bench_name, 1.0) < 0.5 else 3
+        # Slow/iterative rows run best-of-5 (was 3): the driver-paced
+        # multi-job rows (dedup_components, graph_triangles) are the
+        # measured noisiest — a sustained load burst covering three
+        # consecutive 6-12 s samples was observed inflating them past
+        # bar while every fast row stayed clean; two extra samples in
+        # the second block cost ~45 s wall and buy a fourth/fifth
+        # chance in a different window.
+        return 7 if REFERENCE.get(bench_name, 1.0) < 0.5 else 5
 
     # One job per bench row: name -> zero-arg collect thunk.  Plans for
     # non-iterative registry rows are built ONCE (BASELINE.md method:

@@ -30,7 +30,20 @@ def main(spark, sf_dir):
     cols = orders.columns
     with tempfile.TemporaryDirectory() as d:
         target = f"{d}/orders_table"
-        print("init:", cm.table_init(orders, target, "o_orderkey", n_buckets=8))
+        # cluster_by sorts each bucket by the column and splits files
+        # on row count — per-file stats become near-disjoint, so the
+        # range read below prunes files WITHIN buckets too.
+        print(
+            "init:",
+            cm.table_init(
+                orders,
+                target,
+                "o_orderkey",
+                n_buckets=8,
+                cluster_by="o_totalprice",
+                max_records_per_file=200,
+            ),
+        )
 
         # Fast append: new files only — the high-rate ingest path.
         late = orders.withColumn(

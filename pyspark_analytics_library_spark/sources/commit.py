@@ -252,7 +252,7 @@ def _file_stats(full_path: str) -> dict[str, list]:
 
     md = pq.ParquetFile(full_path).metadata
     schema = md.schema.to_arrow_schema()
-    out: dict[str, list] = {}
+    out: dict[str, list] = {"_rows": md.num_rows}  # popped by the caller
     if md.num_columns != len(schema):
         # Nested columns flatten into extra footer leaves, breaking the
         # index correspondence below — record no stats rather than
@@ -284,7 +284,13 @@ def _file_stats(full_path: str) -> dict[str, list]:
 
 
 def _write_bucketed(
-    df: DataFrame, target: str, key: str, n_buckets: int, gen: int = 0
+    df: DataFrame,
+    target: str,
+    key: str,
+    n_buckets: int,
+    gen: int = 0,
+    cluster_by: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> list[dict]:
     """Write ``df`` hash-bucketed by ``key`` under a fresh commit dir;
     return manifest entries
@@ -316,13 +322,20 @@ def _write_bucketed(
     commit_id = f"c-{uuid.uuid4().hex[:12]}"
     commit_dir = os.path.join(target, DATA_DIR, commit_id)
     try:
-        (
-            df.withColumn("bucket", _bucket_expr(key, n_buckets))
-            .repartition(n_buckets, "bucket")
-            .write.partitionBy("bucket")
-            .mode("overwrite")
-            .parquet(commit_dir)
+        staged = df.withColumn("bucket", _bucket_expr(key, n_buckets)).repartition(
+            n_buckets, "bucket"
         )
+        if cluster_by is not None:
+            # Intra-bucket CLUSTERING (round 17): sort each bucket
+            # partition by the cluster column and split on row count —
+            # consecutive files then carry near-disjoint [min, max]
+            # for it, so the manifest stats prune RANGE reads WITHIN a
+            # bucket (the 1-D analog of Delta's OPTIMIZE ZORDER).
+            staged = staged.sortWithinPartitions("bucket", cluster_by)
+        writer = staged.write.partitionBy("bucket").mode("overwrite")
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(commit_dir)
     except BaseException:
         shutil.rmtree(commit_dir, ignore_errors=True)
         raise
@@ -334,12 +347,14 @@ def _write_bucketed(
         for fn in sorted(os.listdir(os.path.join(commit_dir, bucket_dir))):
             if fn.endswith(".parquet"):
                 full = os.path.join(commit_dir, bucket_dir, fn)
+                stats = _file_stats(full)
                 entries.append(
                     {
                         "path": "/".join([DATA_DIR, commit_id, bucket_dir, fn]),
                         "bucket": b,
                         "gen": gen,
-                        "stats": _file_stats(full),
+                        "rows": stats.pop("_rows"),
+                        "stats": stats,
                     }
                 )
     return entries
@@ -476,8 +491,23 @@ def _schema_shape(st):
     return [(f.name, f.dataType) for f in st.fields]
 
 
+def _cluster_args(man: dict) -> dict:
+    """The table's recorded clustering properties as _write_bucketed
+    kwargs — every rewriting commit honors them, so clustering
+    survives merges/appends/compactions once declared at init."""
+    return {
+        "cluster_by": man.get("cluster_by"),
+        "max_records_per_file": man.get("max_records_per_file"),
+    }
+
+
 def table_init(
-    df: DataFrame, target: str, bucket_key: str, n_buckets: int | None = None
+    df: DataFrame,
+    target: str,
+    bucket_key: str,
+    n_buckets: int | None = None,
+    cluster_by: str | None = None,
+    max_records_per_file: int | None = None,
 ) -> dict:
     """(Re)seed ``target`` as a v2 per-file manifest table from ``df``.
 
@@ -518,12 +548,24 @@ def table_init(
             df.sparkSession.conf.get(MERGE_BUCKETS_CONF, "16")
         )
     os.makedirs(target, exist_ok=True)
-    entries = _write_bucketed(df, target, bucket_key, n_buckets, gen=seq)
+    entries = _write_bucketed(
+        df,
+        target,
+        bucket_key,
+        n_buckets,
+        gen=seq,
+        cluster_by=cluster_by,
+        max_records_per_file=max_records_per_file,
+    )
     manifest = {
         "version": 2,
         "seq": seq,
         "bucket_key": bucket_key,
         "n_buckets": n_buckets,
+        # Clustering is a TABLE PROPERTY (round 17): recorded here and
+        # honored by every later rewriting commit via _cluster_args.
+        "cluster_by": cluster_by,
+        "max_records_per_file": max_records_per_file,
         "schema": df.schema.json(),
         "files": entries,
         "tombstones": [],
@@ -775,7 +817,9 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             "schema — re-seed with table_init to change it"
         )
     new_seq = int(man.get("seq", -1)) + 1
-    entries = _write_bucketed(merged, target, key, n_buckets, gen=new_seq)
+    entries = _write_bucketed(
+        merged, target, key, n_buckets, gen=new_seq, **_cluster_args(man)
+    )
     stray = [e["bucket"] for e in entries if e["bucket"] not in touched_set]
     if stray:
         # merge_fn emitted rows outside the update batch's buckets —
@@ -960,7 +1004,12 @@ def table_append(spark, target: str, rows: DataFrame) -> dict:
         )
     new_seq = int(man.get("seq", -1)) + 1
     entries = _write_bucketed(
-        rows, target, man["bucket_key"], int(man["n_buckets"]), gen=new_seq
+        rows,
+        target,
+        man["bucket_key"],
+        int(man["n_buckets"]),
+        gen=new_seq,
+        **_cluster_args(man),
     )
     if not entries:
         # Empty batch: no-op, no commit (review r17 — same discipline
@@ -1011,7 +1060,9 @@ def table_merge_mor(spark, target: str, updates: DataFrame) -> dict:
         )
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
     new_seq = int(man.get("seq", -1)) + 1
-    entries = _write_bucketed(updates, target, key, n_buckets, gen=new_seq)
+    entries = _write_bucketed(
+        updates, target, key, n_buckets, gen=new_seq, **_cluster_args(man)
+    )
     if not entries:
         # Empty batch: commit nothing (same no-op discipline as
         # table_compact — never burn a retention generation for a
@@ -1075,17 +1126,39 @@ def table_compact(
     base_name = _live_manifest_name(target)
     man = _load_manifest(target)
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
-    per_bucket: dict[int, int] = {}
+    per_bucket: dict[int, list[dict]] = {}
     for e in man["files"]:
-        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+        per_bucket.setdefault(e["bucket"], []).append(e)
     tomb_buckets = {t["bucket"] for t in man.get("tombstones", [])}
+
+    mrpf = man.get("max_records_per_file")
+
+    def needs_packing(files: list[dict]) -> bool:
+        if len(files) < min_files:
+            return False
+        if not mrpf:
+            return True  # unclustered table: >1 file per bucket is slack
+        # CLUSTERED table: multiple files per bucket is the NORMAL
+        # state (the splitter caps rows per file), so "small files"
+        # means MORE files than the rows need at capacity — otherwise
+        # every compact run would rewrite every clustered bucket
+        # forever.  Row counts ride the manifest; entries from
+        # pre-rows manifests fall back to the unclustered rule.
+        rows = [e.get("rows") for e in files]
+        if any(r is None for r in rows):
+            return True
+        import math
+
+        return len(files) > max(1, math.ceil(sum(rows) / int(mrpf)))
+
     # tomb_buckets unioned separately (review r17): a tombstone can
     # live in a bucket with ZERO data files (table_delete of an absent
     # key) — iterating per_bucket alone would never clear it, leaving
     # readers paying its anti-join and table_merge refusing the bucket
     # forever.
     candidates = sorted(
-        {b for b, n in per_bucket.items() if n >= min_files} | tomb_buckets
+        {b for b, fs in per_bucket.items() if needs_packing(fs)}
+        | tomb_buckets
     )
     if max_buckets is not None:
         candidates = candidates[:max_buckets]
@@ -1101,7 +1174,9 @@ def table_compact(
     carried = [e for e in man["files"] if e["bucket"] not in cand]
     new_seq = int(man.get("seq", -1)) + 1
     masked = _masked_scan(spark, target, man, rewritten)
-    entries = _write_bucketed(masked, target, key, n_buckets, gen=new_seq)
+    entries = _write_bucketed(
+        masked, target, key, n_buckets, gen=new_seq, **_cluster_args(man)
+    )
     kept_tombs = [
         t for t in man.get("tombstones", []) if t["bucket"] not in cand
     ]

@@ -901,8 +901,8 @@ def test_table_compact_detects_concurrent_commit(spark, tmp_path, monkeypatch):
     real_write = commit_mod._write_bucketed
     raced = {"done": False}
 
-    def racing_write(df, tgt, key, n_buckets, gen=0):
-        entries = real_write(df, tgt, key, n_buckets, gen=gen)
+    def racing_write(df, tgt, key, n_buckets, gen=0, **kw):
+        entries = real_write(df, tgt, key, n_buckets, gen=gen, **kw)
         if not raced["done"]:
             raced["done"] = True
             monkeypatch.undo()
@@ -1154,3 +1154,79 @@ def test_table_compact_max_buckets_incremental_window(spark, tmp_path):
     assert s1["tombstones_cleared"] + s2["tombstones_cleared"] == n_tombs
     assert commit_mod._load_manifest(target)["tombstones"] == []
     assert _v2_rows(spark, target) == before
+
+
+def test_table_clustering_enables_intra_bucket_pruning(spark, tmp_path):
+    """Round 17: cluster_by + max_records_per_file sorts each bucket by
+    the cluster column and splits files on row count — per-file stats
+    become near-disjoint, so a range read prunes files WITHIN a bucket
+    (the hash key can't order values; clustering can).  Compaction's
+    capacity rule must treat the multi-file layout as packed (no-op),
+    re-pack only after appends add slack, and preserve clustering."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark, n=2000)
+    commit_mod.table_init(
+        base,
+        target,
+        "o_orderkey",
+        n_buckets=4,
+        cluster_by="o_totalprice",
+        max_records_per_file=100,
+    )
+    man = commit_mod._load_manifest(target)
+    assert man["cluster_by"] == "o_totalprice"
+    per_bucket: dict[int, list] = {}
+    for e in man["files"]:
+        per_bucket.setdefault(e["bucket"], []).append(e)
+    assert all(len(fs) >= 4 for fs in per_bucket.values()), "files split"
+    # Within each bucket the files' price ranges must not overlap
+    # (sorted + split => contiguous slices).
+    for fs in per_bucket.values():
+        spans = sorted(tuple(e["stats"]["o_totalprice"]) for e in fs)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, (spans,)
+
+    # Range read on the cluster column: most files pruned, rows exact.
+    kept = [
+        e
+        for e in man["files"]
+        if commit_mod._stats_overlap(e, "o_totalprice", 2900.0, None)
+    ]
+    assert len(kept) < len(man["files"]) / 2, "intra-bucket pruning"
+    got = sorted(
+        tuple(r)
+        for r in commit_mod.table_read(
+            spark, target, where=("o_totalprice", 2900.0, None)
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in base.filter(F.col("o_totalprice") >= 2900.0).collect()
+    )
+    assert got == expect
+
+    # Freshly clustered layout is PACKED: compact must be a no-op.
+    assert commit_mod.table_compact(spark, target)["compacted_buckets"] == []
+
+    # Appends add slack; compact re-packs and clustering survives.
+    for lo in (0, 500, 1000, 1500):
+        commit_mod.table_append(
+            spark,
+            target,
+            base.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < lo + 500)
+            ),
+        )
+    stats = commit_mod.table_compact(spark, target)
+    assert stats["compacted_buckets"], "append slack must trigger packing"
+    man2 = commit_mod._load_manifest(target)
+    per_bucket2: dict[int, list] = {}
+    for e in man2["files"]:
+        per_bucket2.setdefault(e["bucket"], []).append(e)
+    for fs in per_bucket2.values():
+        spans = sorted(tuple(e["stats"]["o_totalprice"]) for e in fs)
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 <= lo2, "clustering must survive compaction"
+    assert commit_mod.table_compact(spark, target)["compacted_buckets"] == []
+    expect_all = sorted(tuple(r) for r in base.unionAll(base).collect())
+    assert _v2_rows(spark, target) == expect_all

@@ -39,7 +39,14 @@ files — and as of round 16 this module implements that core pattern
 too: the v2 functions below (:func:`table_init` / :func:`table_merge`
 / :func:`table_read`) commit a FILE LIST per generation, and a merge
 rewrites only the hash-buckets its update batch touches (VERDICT r15
-#2).  The pointer-swap commit core is shared by both versions.
+#2).  Round 17 completed the maintenance surface: :func:`table_append`
+(fast append), :func:`table_merge_mor` / :func:`table_delete`
+(merge-on-read via tombstones), :func:`table_compact` (bin-packing +
+tombstone apply, capacity-aware for clustered layouts),
+:func:`table_add_columns` (metadata-only additive schema evolution),
+per-file min/max stats with range-pruned :func:`table_read`, and
+intra-bucket clustering (``cluster_by`` + ``max_records_per_file``).
+The pointer-swap commit core is shared by everything here.
 
 Mode selection: conf ``spark.analytics.sink.commitMode`` = ``rename``
 (default — keeps every committed fixture attestation byte-identical)
@@ -241,7 +248,10 @@ def _json_stat(v):
 
 def _file_stats(full_path: str) -> dict[str, list]:
     """Per-column [min, max] from a parquet file's FOOTER (row-group
-    statistics merged) — the Iceberg/Delta scan-planning core.  Footer
+    statistics merged) — the Iceberg/Delta scan-planning core — plus
+    the file's row count under the reserved ``_rows`` key (popped into
+    the manifest entry's ``rows`` field by the caller; compaction's
+    capacity rule needs it).  Footer
     reads are metadata-only (no row data touched); at 100 TB this runs
     where the file was written (executor-side) — here the writer is
     local, so a local footer read is the same I/O.  Columns beyond

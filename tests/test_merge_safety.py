@@ -1230,3 +1230,33 @@ def test_table_clustering_enables_intra_bucket_pruning(spark, tmp_path):
     assert commit_mod.table_compact(spark, target)["compacted_buckets"] == []
     expect_all = sorted(tuple(r) for r in base.unionAll(base).collect())
     assert _v2_rows(spark, target) == expect_all
+
+
+def test_time_travel_across_mor_commits(spark, tmp_path):
+    """table_read(at=...) through a merge-on-read history: each
+    retained manifest masks with exactly ITS tombstone list, so the
+    pre-MoR snapshot shows pre-update rows while the live one shows
+    newest-wins — snapshot isolation across deferred merges."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+    pre_mor = commit_mod.table_history(target)[0]
+    updates = base.filter(F.col("o_orderkey") < 5).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates)
+
+    old = commit_mod.table_read(spark, target, at=pre_mor)
+    assert sorted(tuple(r) for r in old.collect()) == sorted(
+        tuple(r) for r in base.collect()
+    ), "pre-MoR snapshot must show the original rows, unmasked"
+    live = commit_mod.table_read(spark, target)
+    assert (
+        live.filter(
+            (F.col("o_orderkey") < 5) & (F.col("o_orderstatus") == "U")
+        ).count()
+        == 5
+    )

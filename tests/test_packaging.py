@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import subprocess
 import sys
 
@@ -49,6 +50,22 @@ def test_pip_install_and_import_from_installed_copy(tmp_path):
     if wheel_pp is None:
         pytest.skip("no wheel module or wheel-*.whl available offline")
 
+    # Build from a COPY of the source tree (VERDICT r17 #2): an
+    # in-tree `pip install <repo>` with --no-build-isolation runs
+    # setuptools in place and regenerates <repo>/build/lib/ on every
+    # pytest run — a byte-identical but LoC-double-counting artifact.
+    # Copying pyproject + package + README into the tempdir keeps the
+    # repo pristine while proving the same wheel metadata.
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(os.path.join(REPO, "pyproject.toml"), src / "pyproject.toml")
+    shutil.copy(os.path.join(REPO, "README.md"), src / "README.md")
+    shutil.copytree(
+        os.path.join(REPO, "pyspark_analytics_library_spark"),
+        src / "pyspark_analytics_library_spark",
+        ignore=shutil.ignore_patterns("__pycache__"),
+    )
+
     target = str(tmp_path / "site")
     env = dict(os.environ)
     if wheel_pp:
@@ -65,12 +82,14 @@ def test_pip_install_and_import_from_installed_copy(tmp_path):
             "--no-deps",
             "--target",
             target,
-            REPO,
+            str(src),
         ],
         check=True,
         env=env,
         cwd=str(tmp_path),
     )
+    # The repo itself must stay build-artifact-free after this test.
+    assert not os.path.exists(os.path.join(REPO, "build", "lib"))
 
     # Child interpreter: installed copy first on sys.path, cwd far from
     # the repo, and the repo root must NOT satisfy the import.

@@ -732,3 +732,38 @@ def test_mor_masked_read_is_broadcast_anti_join(spark, tmp_path):
     text = plan_text(masked)
     assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
     assert masked.count() == 1997
+
+
+def test_mor_clean_files_skip_the_anti_join(spark, tmp_path):
+    """Round 18 (VERDICT r17 next #2): the masked scan must apply the
+    tombstone anti-join ONLY to files a tombstone can actually mask.
+    A tombstone whose key range is disjoint from every data file's
+    range (and both sides null-free) leaves ALL files clean — the
+    read plans a PLAIN scan, zero joins, even though tombstones are
+    live in the manifest."""
+    from pyspark_analytics_library_spark.sources import commit as cm
+
+    target = str(tmp_path / "t")
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    cm.table_init(base, target, "k", n_buckets=4)
+    # Key far outside every file's [min, max]: masks nothing, provably.
+    cm.table_delete(spark, target, [5_000_000])
+    man = cm._load_manifest(target)
+    assert man["tombstones"], "tombstone must be live in the manifest"
+    df = cm.table_read(spark, target)
+    assert "Join" not in plan_text(df), (
+        "range-disjoint tombstones must not cost the scan a join"
+    )
+    assert df.count() == 2000
+
+    # An overlapping tombstone re-introduces the join — but only for
+    # the files it can mask; the clean buckets stay join-free via the
+    # union's plain branch (split asserted entry-level in
+    # test_merge_safety; here we pin the join shape stays broadcast).
+    cm.table_delete(spark, target, [7])
+    masked = cm.table_read(spark, target)
+    text = plan_text(masked)
+    assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
+    assert masked.count() == 1999

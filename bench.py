@@ -84,8 +84,102 @@ def bench_triangles_sparse(spark, sf_dir):
 
 #: bench rows that are not registry queries: constructed inputs that
 #: force a code path the declared surface never reaches at bench SF.
+# --- Round-18 rows: lakehouse maintenance ops (VERDICT r17 next #7).
+# table_append / table_merge_mor / table_compact previously had no
+# bench coverage — a regression in the v2 commit layer only showed up
+# as pytest wall-clock.  Each row is self-contained and identical per
+# rep: the 64-bucket seed table is built ONCE per process (untimed,
+# during warm-up) and each timed call clones it with an OS-level
+# copytree (~ms at bench scale), runs the op(s), and ends with a full
+# masked table_read count so the read path is tripwired too.  All work
+# is eager inside fn(); the returned frame is a local 1-row literal.
+
+_LAKE_SEED: dict[str, str] = {}
+
+
+def _lake_seed(spark, sf_dir) -> str:
+    if sf_dir not in _LAKE_SEED:
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark_analytics_library_spark.sources import commit as cm
+
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        target = tempfile.mkdtemp(prefix="bench_lake_seed_")
+        os.rmdir(target)  # table_init seeds the layout itself
+        cm.table_init(orders, target, "o_orderkey", n_buckets=64)
+        atexit.register(shutil.rmtree, target, ignore_errors=True)
+        _LAKE_SEED[sf_dir] = target
+    return _LAKE_SEED[sf_dir]
+
+
+def _lake_batch(spark, sf_dir):
+    """~1/997 of orders keys, uniformly scattered across buckets — the
+    SCALE.md r16/r17 'honest boundary' update shape."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.filter(F.col("o_orderkey") % 997 == 0).withColumn(
+        "o_orderpriority", F.lit("9-UPDATED")
+    ).select(*orders.columns)
+
+
+def _lake_clone(seed: str) -> str:
+    import shutil
+    import tempfile
+
+    dst = tempfile.mkdtemp(prefix="bench_lake_")
+    os.rmdir(dst)
+    shutil.copytree(seed, dst)
+    return dst
+
+
+def _lake_row(spark, sf_dir, ops) -> "object":
+    import shutil
+
+    from pyspark_analytics_library_spark.sources import commit as cm
+
+    target = _lake_clone(_lake_seed(spark, sf_dir))
+    try:
+        batch = _lake_batch(spark, sf_dir)
+        stats = {}
+        for op in ops:
+            if op == "append":
+                stats = cm.table_append(spark, target, batch)
+            elif op == "mor":
+                stats = cm.table_merge_mor(spark, target, batch)
+            elif op == "compact":
+                stats = cm.table_compact(spark, target)
+        n = cm.table_read(spark, target).count()
+        first = next(iter(stats.values())) if stats else 0
+        val = first if isinstance(first, int) else len(first)
+        return spark.createDataFrame(
+            [(int(val), int(n))], "op_stat int, rows int"
+        )
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+
+
+def bench_lake_append(spark, sf_dir):
+    """Fast append + masked full read on a fresh clone of the seed."""
+    return _lake_row(spark, sf_dir, ["append"])
+
+
+def bench_lake_mor(spark, sf_dir):
+    """Merge-on-read upsert (delta + tombstones) + masked full read."""
+    return _lake_row(spark, sf_dir, ["mor"])
+
+
+def bench_lake_compact(spark, sf_dir):
+    """MoR upsert, then compaction (bin-pack + tombstone apply across
+    the ~55 touched buckets) + full read — the maintenance heavy row."""
+    return _lake_row(spark, sf_dir, ["mor", "compact"])
+
+
 CUSTOM = {
     "triangles_sparse": bench_triangles_sparse,
+    "lake_append": bench_lake_append,
+    "lake_mor": bench_lake_mor,
+    "lake_compact": bench_lake_compact,
 }
 
 #: Capture-window guard for the final JSON line (the driver keeps the
@@ -257,6 +351,9 @@ EXTENDED = {
     "merge_upsert",
     "merge_scd2",
     "triangles_sparse",
+    "lake_append",
+    "lake_mor",
+    "lake_compact",
 }
 
 

@@ -204,6 +204,41 @@ MERGE_BUCKETS_CONF = "spark.analytics.sink.mergeBuckets"
 MANIFEST_PREFIX = "manifest-"
 DATA_DIR = "data"
 
+#: Conf: write SPLIT manifests (manifest-list root + one part file per
+#: non-empty bucket) instead of one inline JSON document.  Recorded as
+#: a table property at table_init; every later commit honors it.
+MANIFEST_SPLIT_CONF = "spark.analytics.sink.manifestSplit"
+
+#: Conf: default retention (generations kept) for new v2 tables.
+KEEP_GENERATIONS_CONF = "spark.analytics.sink.keepGenerations"
+
+#: Directory holding split-manifest part files (one per bucket).
+PARTS_DIR = "manifests"
+
+#: Observability/test counter for driver-side manifest I/O: every JSON
+#: read of a root manifest or part file adds here.  The split-manifest
+#: contract — merges/lookups/pruned reads parse O(touched buckets),
+#: not O(table files) — is asserted against ``part_reads``/``bytes``
+#: (reset it, run the op, inspect).  Driver-side only, test scoped; a
+#: concurrent in-process reader would share it, which is fine for its
+#: purpose.
+MANIFEST_IO = {"reads": 0, "part_reads": 0, "bytes": 0}
+
+
+def _read_json(path: str) -> dict:
+    """A manifest/part JSON document, with driver-side I/O accounted
+    in :data:`MANIFEST_IO` — the split-manifest design exists exactly
+    to bound this I/O, so it is measured, not assumed."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        raw = f.read()
+    MANIFEST_IO["reads"] += 1
+    MANIFEST_IO["bytes"] += len(raw)
+    if os.path.basename(path).startswith("part-"):
+        MANIFEST_IO["part_reads"] += 1
+    return json.loads(raw)
+
 
 def _bucket_expr(key: str, n_buckets: int):
     """Deterministic bucket id for a merge key — identical arithmetic
@@ -308,13 +343,65 @@ def _file_stats(full_path: str) -> dict[str, list]:
     return out
 
 
+def _zorder_expr(df: DataFrame, cols: list[str]):
+    """32-bit Z-value (bit-interleaved 16-bit ranks) over two numeric/
+    temporal columns — the intra-bucket MULTI-column sort key (round
+    18, VERDICT r17 next #6; Delta's OPTIMIZE ZORDER position).  Each
+    column is min/max-normalized to 16 bits with ONE tiny agg job over
+    the batch (4 scalars to the driver), then the bits interleave as a
+    static JVM expression tree (64 shift/mask terms, whole-stage-
+    codegen friendly, no UDF).  Per-commit normalization is harmless:
+    the z-value orders the PHYSICAL layout only and is never stored —
+    pruning reads the real per-file column stats.
+
+    Interleaving preserves locality on BOTH dimensions at once, so a
+    range read on either column (or a 2-D band) keeps few files —
+    where a lexicographic 2-column sort serves only the leading
+    column."""
+    from pyspark.sql import functions as F
+
+    def as_double(c):
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("date", "timestamp", "timestamp_ntz"):
+            return F.col(c).cast("timestamp").cast("double")
+        if dt in ("string", "binary", "boolean", "array", "map", "struct"):
+            raise ValueError(
+                f"z-order clustering needs numeric/temporal columns; {c!r} "
+                f"is {dt}"
+            )
+        return F.col(c).cast("double")
+
+    bounds = df.agg(
+        *[f(as_double(c)) for c in cols for f in (F.min, F.max)]
+    ).first()
+    ranks = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[2 * i], bounds[2 * i + 1]
+        if mn is None or mx is None or mx <= mn:
+            ranks.append(F.lit(0))
+            continue
+        u = F.floor((as_double(c) - F.lit(mn)) / F.lit(mx - mn) * 65535.0)
+        ranks.append(
+            F.coalesce(F.least(F.greatest(u, F.lit(0)), F.lit(65535)), F.lit(0))
+            .cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(16):
+        for j, u in enumerate(ranks):
+            z = z + F.shiftleft(
+                F.shiftright(u, bit).bitwiseAND(F.lit(1)),
+                bit * len(ranks) + j,
+            )
+    return z
+
+
 def _write_bucketed(
     df: DataFrame,
     target: str,
     key: str,
     n_buckets: int,
     gen: int = 0,
-    cluster_by: str | None = None,
+    cluster_by=None,
     max_records_per_file: int | None = None,
 ) -> list[dict]:
     """Write ``df`` hash-bucketed by ``key`` under a fresh commit dir;
@@ -337,26 +424,51 @@ def _write_bucketed(
     can't touch."""
     from pyspark.sql import functions as F
 
-    if "bucket" in df.columns:
-        # The helper column would collide and partitionBy would route
-        # on the caller's data instead of the key hash — refuse loudly.
-        raise ValueError(
-            "per-file manifest tables reserve the column name 'bucket'; "
-            "rename that column before table_init/table_merge"
-        )
+    for reserved in ("bucket", "_zorder"):
+        if reserved in df.columns:
+            # The helper column would collide (partitionBy would route
+            # on the caller's data instead of the key hash; the sort
+            # key would shadow theirs) — refuse loudly.
+            raise ValueError(
+                f"per-file manifest tables reserve the column name "
+                f"{reserved!r}; rename that column before "
+                "table_init/table_merge"
+            )
     commit_id = f"c-{uuid.uuid4().hex[:12]}"
     commit_dir = os.path.join(target, DATA_DIR, commit_id)
     try:
         staged = df.withColumn("bucket", _bucket_expr(key, n_buckets)).repartition(
             n_buckets, "bucket"
         )
-        if cluster_by is not None:
+        drop_helper = None
+        if isinstance(cluster_by, (list, tuple)):
+            # MULTI-column clustering (round 18): sort each bucket
+            # partition by the bit-interleaved Z-value of the listed
+            # columns — locality on every listed dimension, so per-file
+            # stats prune range reads on ANY of them.  The helper
+            # column is sort-only: projected away before the write
+            # (a narrow projection preserves the per-partition order).
+            if len(cluster_by) == 1:
+                staged = staged.sortWithinPartitions("bucket", cluster_by[0])
+            else:
+                if len(cluster_by) != 2:
+                    raise ValueError(
+                        "z-order clustering supports exactly 2 columns; got "
+                        f"{list(cluster_by)!r}"
+                    )
+                drop_helper = "_zorder"
+                staged = staged.withColumn(
+                    drop_helper, _zorder_expr(df, list(cluster_by))
+                ).sortWithinPartitions("bucket", drop_helper)
+        elif cluster_by is not None:
             # Intra-bucket CLUSTERING (round 17): sort each bucket
             # partition by the cluster column and split on row count —
             # consecutive files then carry near-disjoint [min, max]
             # for it, so the manifest stats prune RANGE reads WITHIN a
             # bucket (the 1-D analog of Delta's OPTIMIZE ZORDER).
             staged = staged.sortWithinPartitions("bucket", cluster_by)
+        if drop_helper is not None:
+            staged = staged.drop(drop_helper)
         writer = staged.write.partitionBy("bucket").mode("overwrite")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -380,6 +492,7 @@ def _write_bucketed(
                         "bucket": b,
                         "gen": gen,
                         "rows": stats.pop("_rows"),
+                        "bytes": os.path.getsize(full),
                         # NULL count of the bucket key (round 18): the
                         # clean/dirty MoR split needs it because footer
                         # [min, max] never covers NULLs — absent/None =
@@ -492,19 +605,17 @@ def _manifest_seq(path: str) -> int:
     pre-seq) — the deterministic retention/time-travel order.  mtime
     is NOT used: its granularity (1 s on some filesystems) and clock
     skew on shared stores can misorder close commits (review r16)."""
-    import json
-
     try:
-        with open(path, encoding="utf-8") as f:
-            return int(json.load(f).get("seq", -1))
+        return int(_read_json(path).get("seq", -1))
     except (OSError, ValueError, TypeError):
         return -1
 
 
 def _load_manifest(target: str) -> dict:
-    """The live manifest dict for a v2 table (pointer → JSON)."""
-    import json
-
+    """The live ROOT manifest dict for a v2 table (pointer → JSON).
+    For split tables this is the manifest LIST — table metadata plus
+    per-bucket part refs, O(buckets) not O(files); per-bucket entry
+    listings load on demand through :func:`_man_entries`."""
     live = resolve_table(target)
     base = os.path.basename(live)
     if not base.startswith(MANIFEST_PREFIX):
@@ -512,14 +623,173 @@ def _load_manifest(target: str) -> dict:
             f"{target} is not a per-file manifest table (pointer names "
             f"{base!r}); seed it with table_init() first"
         )
-    with open(live, encoding="utf-8") as f:
-        return json.load(f)
+    return _read_json(live)
 
 
 def _schema_shape(st):
     """Comparable (name, type) list; nullability excluded — unions
     legitimately widen it and parquet self-describes it per file."""
     return [(f.name, f.dataType) for f in st.fields]
+
+
+# ---------------------------------------------------------------------------
+# Round 18: SPLIT manifests — manifest-list root + per-bucket parts
+# (VERDICT r17 next #3: the one-document manifest was the last
+# driver-side O(table-files) cost; at 100 TB a table is millions of
+# files and a several-hundred-MB JSON parse per commit/lookup becomes
+# the driver bottleneck.  Iceberg's answer is a manifest LIST naming
+# per-partition manifest files; this is that core, keyed on the hash
+# bucket: the root manifest lists one small part ref per non-empty
+# bucket, and each part file holds that bucket's data-file and
+# tombstone entries.  A merge/lookup/pruned read parses the root plus
+# ONLY the touched buckets' parts; untouched parts are carried into
+# the next root BY REFERENCE, never reread or rewritten.)
+# ---------------------------------------------------------------------------
+
+
+def _part_stats_union(files: list[dict]) -> dict[str, list]:
+    """Part-level [min, max] per column: the union of the part's file
+    stats, recorded only for columns EVERY file has stats for (a
+    stats-less file makes the part's bound unknowable for that column
+    — recording a partial union could lossily prune the part)."""
+    if not files:
+        return {}
+    cols = set(files[0].get("stats", {}))
+    for e in files[1:]:
+        cols &= set(e.get("stats", {}))
+    out = {}
+    for c in cols:
+        mns, mxs = zip(*(e["stats"][c] for e in files))
+        try:
+            out[c] = [min(mns), max(mxs)]
+        except TypeError:
+            continue  # mixed encodings: leave the part unprunable on c
+    return out
+
+
+def _write_part(target: str, bucket: int, files: list[dict], tombs: list[dict]) -> dict:
+    """Write one bucket's manifest PART file and return its root-level
+    ref.  The ref carries everything commit-path planning needs so the
+    part itself is loaded only when the bucket is actually touched or
+    scanned: entry counts, summed rows/bytes (compaction's capacity
+    rule), and the part-level stats union (range pruning selects parts
+    before loading them).  Parts are immutable and unreferenced until
+    the root commits — a crash leaves an orphan for vacuum, never a
+    visible state."""
+    import json
+
+    os.makedirs(os.path.join(target, PARTS_DIR), exist_ok=True)
+    name = f"part-{uuid.uuid4().hex[:12]}.json"
+    rel = f"{PARTS_DIR}/{name}"
+    full = os.path.join(target, rel)
+    tmp = full + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"bucket": bucket, "files": files, "tombstones": tombs}, f)
+    os.replace(tmp, full)
+    rows = [e.get("rows") for e in files]
+    return {
+        "path": rel,
+        "bucket": bucket,
+        "files": len(files),
+        "tombstones": len(tombs),
+        "rows": None if any(r is None for r in rows) else sum(rows),
+        "bytes": sum(e.get("bytes") or 0 for e in files),
+        "stats": _part_stats_union(files),
+    }
+
+
+def _man_entries(
+    target: str,
+    man: dict,
+    buckets=None,
+    preds: list | None = None,
+) -> tuple[list[dict], list[dict]]:
+    """The (data files, tombstones) a manifest makes visible,
+    restricted to ``buckets`` when given — the ONE accessor every op
+    reads listings through.  Inline manifests filter in memory; split
+    manifests load ONLY the parts for those buckets, which is the
+    whole point of the layout.  ``preds`` = [(col, lo, hi, dtype)]
+    additionally skips parts whose part-level stats union cannot
+    intersect EVERY range (safe to drop whole parts: a part's
+    tombstones can only mask rows of its OWN bucket, which all live
+    in that same part)."""
+    if "parts" not in man:
+        files = man["files"]
+        tombs = man.get("tombstones", [])
+        if buckets is not None:
+            files = [e for e in files if e["bucket"] in buckets]
+            tombs = [t for t in tombs if t["bucket"] in buckets]
+        return files, tombs
+    files, tombs = [], []
+    for ref in man["parts"]:
+        if buckets is not None and ref["bucket"] not in buckets:
+            continue
+        if (
+            preds
+            and ref["files"] > 0
+            and not all(
+                _stats_overlap(ref, c, lo, hi, dtype) for c, lo, hi, dtype in preds
+            )
+        ):
+            continue
+        doc = _read_json(os.path.join(target, ref["path"]))
+        files.extend(doc["files"])
+        tombs.extend(doc["tombstones"])
+    return files, tombs
+
+
+def _man_update(target: str, man: dict, touched: dict, seq: int) -> dict:
+    """A new manifest dict with each touched bucket's (files,
+    tombstones) listing replaced WHOLESALE by ``touched[bucket]``;
+    untouched buckets carry over — by part REFERENCE in split mode (no
+    reread, no rewrite), by entry in inline mode.  Buckets whose new
+    listing is empty simply vanish (no empty parts)."""
+    if "parts" not in man:
+        files = [e for e in man["files"] if e["bucket"] not in touched]
+        tombs = [
+            t for t in man.get("tombstones", []) if t["bucket"] not in touched
+        ]
+        for fs, ts in touched.values():
+            files.extend(fs)
+            tombs.extend(ts)
+        return dict(man, files=files, tombstones=tombs, seq=seq)
+    parts = [r for r in man["parts"] if r["bucket"] not in touched]
+    for b in sorted(touched):
+        fs, ts = touched[b]
+        if fs or ts:
+            parts.append(_write_part(target, b, fs, ts))
+    parts.sort(key=lambda r: r["bucket"])
+    return dict(man, parts=parts, seq=seq)
+
+
+def _group_listings(target: str, man: dict, new_files=(), new_tombs=()) -> dict:
+    """Per-bucket (files, tombstones) listings composing the OLD
+    listings — loaded only for the buckets the new entries touch —
+    with the new entries appended: the shared commit shape of
+    append / merge-on-read / delete, none of which rewrites an
+    existing entry."""
+    buckets = {e["bucket"] for e in new_files} | {t["bucket"] for t in new_tombs}
+    old_files, old_tombs = _man_entries(target, man, buckets=buckets)
+    listing = {b: ([], []) for b in buckets}
+    for e in list(old_files) + list(new_files):
+        listing[e["bucket"]][0].append(e)
+    for t in list(old_tombs) + list(new_tombs):
+        listing[t["bucket"]][1].append(t)
+    return listing
+
+
+def _man_file_count(man: dict) -> int:
+    """Total data files a manifest lists, without loading parts."""
+    if "parts" not in man:
+        return len(man["files"])
+    return sum(ref["files"] for ref in man["parts"])
+
+
+def _man_tomb_count(man: dict) -> int:
+    """Total tombstone files a manifest lists, without loading parts."""
+    if "parts" not in man:
+        return len(man.get("tombstones", []))
+    return sum(ref["tombstones"] for ref in man["parts"])
 
 
 def _cluster_args(man: dict) -> dict:
@@ -539,6 +809,8 @@ def table_init(
     n_buckets: int | None = None,
     cluster_by: str | None = None,
     max_records_per_file: int | None = None,
+    split_manifest: bool | None = None,
+    keep_generations: int | None = None,
 ) -> dict:
     """(Re)seed ``target`` as a v2 per-file manifest table from ``df``.
 
@@ -551,7 +823,24 @@ def table_init(
     :class:`ConcurrentCommitError` instead of being silently replaced
     (review r16 — previously only merges were protected).
     Refuses a pointerless non-empty target exactly like v1
-    :func:`manifest_commit` and for the same reason."""
+    :func:`manifest_commit` and for the same reason.
+
+    ``split_manifest`` (round 18, default conf
+    :data:`MANIFEST_SPLIT_CONF`, else False) selects the SPLIT layout:
+    the committed root is a manifest LIST of per-bucket part refs, so
+    later merges/lookups/pruned reads parse O(touched buckets) of
+    manifest JSON instead of O(table files).  A table property — fixed
+    for the table's lifetime (a re-seed may choose anew; the file sets
+    on either side of a re-seed are disjoint, so the pruner never has
+    to reason across the mode boundary).
+
+    ``keep_generations`` (round 18, default conf
+    :data:`KEEP_GENERATIONS_CONF`, else :data:`KEEP_GENERATIONS`) is
+    the table's RETENTION property: how many committed generations
+    (live included) stay readable for time travel / rollback before
+    :func:`_prune_manifests` reclaims them.  The table's time-travel
+    SLA, stated instead of hard-coded; changeable later with
+    :func:`table_set_retention`."""
     ptr_exists = os.path.exists(os.path.join(target, CURRENT_POINTER))
     if os.path.isdir(target) and os.listdir(target) and not ptr_exists:
         raise ValueError(
@@ -574,10 +863,17 @@ def table_init(
     seq = (
         int(_load_manifest(target).get("seq", -1)) + 1 if ptr_exists else 0
     )
+    conf = df.sparkSession.conf
     if n_buckets is None:
-        n_buckets = int(
-            df.sparkSession.conf.get(MERGE_BUCKETS_CONF, "16")
+        n_buckets = int(conf.get(MERGE_BUCKETS_CONF, "16"))
+    if split_manifest is None:
+        split_manifest = str(conf.get(MANIFEST_SPLIT_CONF, "false")).lower() == "true"
+    if keep_generations is None:
+        keep_generations = int(
+            conf.get(KEEP_GENERATIONS_CONF, str(KEEP_GENERATIONS))
         )
+    if keep_generations < 1:
+        raise ValueError("keep_generations must be >= 1 (the live manifest)")
     os.makedirs(target, exist_ok=True)
     entries = _write_bucketed(
         df,
@@ -597,10 +893,19 @@ def table_init(
         # honored by every later rewriting commit via _cluster_args.
         "cluster_by": cluster_by,
         "max_records_per_file": max_records_per_file,
+        "keep_generations": int(keep_generations),
         "schema": df.schema.json(),
-        "files": entries,
-        "tombstones": [],
     }
+    if split_manifest:
+        by_bucket: dict[int, list[dict]] = {}
+        for e in entries:
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        manifest["parts"] = [
+            _write_part(target, b, fs, []) for b, fs in sorted(by_bucket.items())
+        ]
+    else:
+        manifest["files"] = entries
+        manifest["tombstones"] = []
     _commit_manifest(target, manifest, expect_current=expected)
     return {"files": len(entries), "n_buckets": n_buckets}
 
@@ -622,6 +927,20 @@ def table_history(target: str) -> list[str]:
         reverse=True,
     )
     return [live] + others
+
+
+def _scan_coalesce(spark, items: list[dict]) -> int:
+    """Task count for scanning ``items``' files: enough partitions to
+    fill the cluster and to keep ~128 MB per task, but never one task
+    per tiny file.  Entries without recorded byte sizes (pre-r18
+    manifests) fall back to a 32-files-per-task estimate — the packing
+    Spark itself would do if the files carried the default 4 MB open
+    cost against the default 128 MB split."""
+    par = spark.sparkContext.defaultParallelism
+    sizes = [e.get("bytes") for e in items]
+    if any(s is None for s in sizes):
+        return max(par, (len(items) + 31) // 32)
+    return max(par, -(-sum(sizes) // (128 << 20)))
 
 
 def _ranges_may_intersect(a, b) -> bool:
@@ -663,17 +982,21 @@ def _may_mask(entry: dict, tomb: dict, key: str) -> bool:
 
 
 def _mask_split(
-    man: dict, entries: list[dict]
+    man: dict, entries: list[dict], tombstones: list[dict] | None = None
 ) -> tuple[list[dict], list[dict], list[dict]]:
     """Partition ``entries`` into (clean, dirty, relevant_tombstones):
     a file is CLEAN when no live tombstone :func:`_may_mask` it — it
     takes the plain-scan path, paying zero join; the anti-join runs
     only over the dirty files, against only the tombstones that can
-    affect at least one of them.  Pure manifest arithmetic, no I/O."""
+    affect at least one of them.  Pure manifest arithmetic, no I/O.
+    ``tombstones`` defaults to the inline listing; split-manifest
+    callers pass the part-loaded list explicitly."""
     key = man["bucket_key"]
     buckets = {e["bucket"] for e in entries}
+    if tombstones is None:
+        tombstones = man.get("tombstones", [])
     tomb_by_bucket: dict[int, list[dict]] = {}
-    for t in man.get("tombstones", []):
+    for t in tombstones:
         if t["bucket"] in buckets:
             tomb_by_bucket.setdefault(t["bucket"], []).append(t)
     clean: list[dict] = []
@@ -692,7 +1015,13 @@ def _mask_split(
     return clean, dirty, relevant
 
 
-def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFrame:
+def _masked_scan(
+    spark,
+    target: str,
+    man: dict,
+    entries: list[dict],
+    tombstones: list[dict] | None = None,
+) -> DataFrame:
     """Scan ``entries`` under ``man``'s schema with merge-on-read
     tombstones applied — the ONE read path every v2 reader goes
     through (manifest-recorded schema enforced per ADVICE r16: a scan
@@ -729,12 +1058,23 @@ def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFram
     schema = StructType.fromJson(_json.loads(man["schema"]))
     if not entries:
         return spark.createDataFrame([], schema)
-    clean, dirty, tombs = _mask_split(man, entries)
+    clean, dirty, tombs = _mask_split(man, entries, tombstones)
 
     def plain(items):
-        return spark.read.schema(schema).parquet(
+        df = spark.read.schema(schema).parquet(
             *[os.path.join(target, e["path"]) for e in items]
         )
+        # Small-file task collapse (round 18, measured): when total
+        # bytes are tiny, Spark's file bin-packing degenerates to ONE
+        # file per task (maxSplitBytes bottoms out at openCostInBytes),
+        # so a 275-small-file MoR backlog scheduled 275 tasks — pure
+        # scheduler overhead.  The manifest knows the byte sizes, so
+        # cap tasks at max(defaultParallelism, bytes/maxPartitionBytes)
+        # via coalesce — a NARROW merge that never reduces a large
+        # table's parallelism (the cap exceeds the natural partition
+        # count there, and coalesce only ever shrinks).
+        k = _scan_coalesce(spark, items)
+        return df.coalesce(k) if k < len(items) else df
 
     if not dirty:
         return plain(entries)
@@ -762,10 +1102,14 @@ def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFram
     data = plain(dirty).withColumn("_gen", commit_gen_expr(dirty))
     key_field = next(f for f in schema.fields if f.name == key)
     tomb_schema = StructType([key_field])
+    tomb_scan = spark.read.schema(tomb_schema).parquet(
+        *[os.path.join(target, t["path"]) for t in tombs]
+    )
+    tk = _scan_coalesce(spark, tombs)
+    if tk < len(tombs):
+        tomb_scan = tomb_scan.coalesce(tk)
     tomb = (
-        spark.read.schema(tomb_schema)
-        .parquet(*[os.path.join(target, t["path"]) for t in tombs])
-        .withColumn("_tgen", commit_gen_expr(tombs))
+        tomb_scan.withColumn("_tgen", commit_gen_expr(tombs))
         .groupBy(F.col(key).alias("_tkey"))
         .agg(F.max("_tgen").alias("_tgen"))
     )
@@ -786,8 +1130,6 @@ def _masked_scan(spark, target: str, man: dict, entries: list[dict]) -> DataFram
 
 def _manifest_at(target: str, at: str | None) -> dict:
     """The live manifest, or a retained one named by ``at``."""
-    import json as _json
-
     if at is None:
         return _load_manifest(target)
     if at != os.path.basename(at) or not at.startswith(MANIFEST_PREFIX):
@@ -798,8 +1140,7 @@ def _manifest_at(target: str, at: str | None) -> dict:
             f"manifest {at!r} not retained in {target} "
             f"(history: {table_history(target)})"
         )
-    with open(path, encoding="utf-8") as f:
-        return _json.load(f)
+    return _read_json(path)
 
 
 def table_read(
@@ -819,30 +1160,39 @@ def table_read(
     until pruned; its manifest still lists exactly them).  Default:
     the live manifest.
 
-    ``where`` = ``(col, lo, hi)`` is a RANGE predicate (``lo``/``hi``
+    ``where`` = ``(col, lo, hi)`` — or a LIST of such tuples for a
+    conjunctive multi-column band (round 18, the natural read shape
+    over z-order clustering) — is a RANGE predicate (``lo``/``hi``
     may each be None for a half-open range) served with FILE-LEVEL
     stats pruning (round 17, VERDICT r16 #4): files whose manifest
     [min, max] for ``col`` cannot intersect the range are never
     scanned — the Iceberg/Delta scan-planning core, reaching
     predicates bucket arithmetic can't (the bucket key hashes away
-    order).  Files without recorded stats for ``col`` are kept
-    (absent = unknown); the residual filter still applies row-level,
-    pushed into the parquet scan as usual."""
+    order).  Split tables prune whole manifest PARTS first (part-ref
+    stats union), so non-overlapping buckets are never even parsed.
+    Files without recorded stats for ``col`` are kept (absent =
+    unknown); the residual filters still apply row-level, pushed into
+    the parquet scan as usual."""
     from pyspark.sql import functions as F
 
     man = _manifest_at(target, at)
-    entries = man["files"]
+    # ``where`` may be one (col, lo, hi) tuple or a list of them
+    # (round 18: multi-column clustering makes conjunctive 2-D band
+    # reads the natural shape) — every predicate prunes independently
+    # (conjunction: a file survives only if it can satisfy ALL).
+    preds = []
     if where is not None:
-        col, lo, hi = where
-        dtype = _col_typename(man, col)
-        entries = [e for e in entries if _stats_overlap(e, col, lo, hi, dtype)]
-    df = _masked_scan(spark, target, man, entries)
-    if where is not None:
-        col, lo, hi = where
+        preds = [where] if isinstance(where, tuple) else list(where)
+    preds = [(c, lo, hi, _col_typename(man, c)) for (c, lo, hi) in preds]
+    entries, tombs = _man_entries(target, man, preds=preds or None)
+    for c, lo, hi, dtype in preds:
+        entries = [e for e in entries if _stats_overlap(e, c, lo, hi, dtype)]
+    df = _masked_scan(spark, target, man, entries, tombs)
+    for c, lo, hi, _ in preds:
         if lo is not None:
-            df = df.filter(F.col(col) >= F.lit(lo))
+            df = df.filter(F.col(c) >= F.lit(lo))
         if hi is not None:
-            df = df.filter(F.col(col) <= F.lit(hi))
+            df = df.filter(F.col(c) <= F.lit(hi))
     return df
 
 
@@ -968,7 +1318,10 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
         .collect()
     )
     touched_set = set(touched)
-    if any(t["bucket"] in touched_set for t in man.get("tombstones", [])):
+    # Split tables: this loads ONLY the touched buckets' parts — the
+    # merge's driver-side manifest parse is O(update footprint).
+    rewritten, touched_tombs = _man_entries(target, man, buckets=touched_set)
+    if touched_tombs:
         # A CoW merge's base_slice is the RAW file rows; live merge-on-
         # read tombstones in a touched bucket would resurrect masked
         # rows into merge_fn's input.  Compaction applies and clears
@@ -979,9 +1332,7 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             "(from table_merge_mor); run table_compact() first to apply "
             "them, then retry the copy-on-write merge"
         )
-    old_files = man["files"]
-    rewritten = [e for e in old_files if e["bucket"] in touched_set]
-    carried = [e for e in old_files if e["bucket"] not in touched_set]
+    n_carried = _man_file_count(man) - len(rewritten)
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -1020,51 +1371,75 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             f"{sorted(set(stray))}; a merge may only rewrite the touched "
             "slice (did merge_fn rekey rows?)"
         )
-    manifest = dict(man, files=carried + entries, seq=new_seq)
+    listing: dict[int, tuple[list, list]] = {b: ([], []) for b in touched_set}
+    for e in entries:
+        listing[e["bucket"]][0].append(e)
+    manifest = _man_update(target, man, listing, new_seq)
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "touched_buckets": touched,
         "rewritten_files": len(rewritten),
-        "carried_files": len(carried),
+        "carried_files": n_carried,
         "new_files": len(entries),
     }
 
 
 def _prune_manifests(target: str, current: str) -> None:
     """Reclaim superseded manifests and their data files, keeping the
-    live manifest plus the newest ``KEEP_GENERATIONS - 1`` others by
-    commit SEQUENCE (same grace-window contract as v1).  Runs after
-    the pointer swap — a crash here costs disk, never correctness.
+    live manifest plus the newest ``keep_generations - 1`` others by
+    commit SEQUENCE (retention is the TABLE PROPERTY recorded in the
+    just-committed manifest — round 18; default
+    :data:`KEEP_GENERATIONS`).  Runs after the pointer swap — a crash
+    here costs disk, never correctness.
 
-    Two deletion classes (review r16), deliberately different:
+    Deletion discipline: only what is PROVABLY unreferenced.
 
-    * files referenced by a manifest being pruned here — committed
-      once, provably superseded → deleted immediately (minus any the
-      kept manifests still carry by reference);
+    * inline roots being pruned list their data files directly —
+      deleted minus anything a kept manifest still references;
+    * split roots being pruned: a part file also referenced by a kept
+      root is carried state — untouched.  DEAD parts (referenced by
+      pruned roots only) are loaded to enumerate their data files,
+      and kept parts are loaded ONLY for those same buckets (the only
+      place an overlap can exist, since append/MoR carry old entries
+      into the replacement part) — so the commit-path pruner stays
+      O(changed buckets), never O(table);
     * files referenced by NO manifest at all — possibly an IN-FLIGHT
       concurrent commit's data that has not reached its manifest
-      write yet → deleted only past :data:`ORPHAN_GRACE_S`, so a
-      racing writer's prune can never unlink files another writer is
-      producing.  Crashed-commit orphans age out through the same
-      grace.
+      write yet — age out past :data:`ORPHAN_GRACE_S` via the
+      directory walk, which needs the FULL kept reference set and
+      therefore runs only when every kept root is inline; split
+      tables defer orphan reclamation to :func:`table_vacuum` (the
+      same split Iceberg makes: expire-snapshots is a commit-path
+      job, remove-orphan-files a maintenance job).
     """
-    import json
     import time
 
-    def refs(name: str) -> set[str] | None:
+    def _try_read(name_or_rel: str) -> dict | None:
         try:
-            with open(os.path.join(target, name), encoding="utf-8") as f:
-                man = json.load(f)
-            # Tombstone files are live data too (round 17): a kept
-            # manifest's merge-on-read masking breaks if the pruner
-            # unlinks them.
-            return {e["path"] for e in man["files"]} | {
-                t["path"] for t in man.get("tombstones", [])
-            }
+            return _read_json(os.path.join(target, name_or_rel))
         except (OSError, ValueError, KeyError, TypeError):
             return None
 
+    def data_refs(doc: dict) -> set[str] | None:
+        # Tombstone files are live data too (round 17): a kept
+        # manifest's merge-on-read masking breaks if the pruner
+        # unlinks them.  None on a malformed document — callers on the
+        # KEPT side must abort (never delete what can't be proven
+        # unreferenced); the pruned side treats it as empty.
+        try:
+            return {e["path"] for e in doc["files"]} | {
+                t["path"] for t in doc.get("tombstones", [])
+            }
+        except (KeyError, TypeError):
+            return None
+
     try:
+        cur_man = _try_read(current)
+        keep_n = (
+            int(cur_man.get("keep_generations") or KEEP_GENERATIONS)
+            if cur_man
+            else KEEP_GENERATIONS
+        )
         manifests = [
             n
             for n in os.listdir(target)
@@ -1073,34 +1448,83 @@ def _prune_manifests(target: str, current: str) -> None:
         manifests.sort(
             key=lambda n: _manifest_seq(os.path.join(target, n)), reverse=True
         )
-        keep = [current] + manifests[: KEEP_GENERATIONS - 1]
-        pruned = manifests[KEEP_GENERATIONS - 1 :]
-        kept_refs: set[str] = set()
+        keep = [current] + manifests[: keep_n - 1]
+        pruned = manifests[keep_n - 1 :]
+        kept_parts: set[str] = set()
+        kept_data: set[str] = set()
+        kept_split_refs: list[dict] = []
+        any_kept_split = False
         for n in keep:
-            r = refs(n)
-            if r is None:
+            man = cur_man if n == current else _try_read(n)
+            if man is None:
                 # Unreadable kept manifest: skip pruning entirely —
                 # never delete files we cannot prove unreferenced.
                 return
-            kept_refs |= r
-        pruned_refs: set[str] = set()
+            if "parts" in man:
+                any_kept_split = True
+                kept_parts |= {r["path"] for r in man["parts"]}
+                kept_split_refs.extend(man["parts"])
+            else:
+                d = data_refs(man)
+                if d is None:
+                    return  # malformed kept manifest: delete nothing
+                kept_data |= d
+        dead_parts: dict[str, int] = {}  # rel path -> bucket
+        pruned_data: set[str] = set()
         for n in pruned:
-            r = refs(n)
-            if r is not None:
-                pruned_refs |= r
+            man = _try_read(n)
+            if man is not None:
+                if "parts" in man:
+                    for r in man["parts"]:
+                        if r["path"] not in kept_parts:
+                            dead_parts[r["path"]] = r["bucket"]
+                else:
+                    pruned_data |= data_refs(man) or set()
             try:
                 os.remove(os.path.join(target, n))
             except OSError:
                 pass
+        dead_data: set[str] = set()
+        for rel in dead_parts:
+            doc = _try_read(rel)
+            if doc is not None:
+                dead_data |= data_refs(doc) or set()
+        # Kept parts can share data files with dead parts only in the
+        # dead parts' own buckets (a bucket's listing lives in exactly
+        # one part per root) — load just those.
+        dead_buckets = set(dead_parts.values())
+        loaded: set[str] = set()
+        for r in kept_split_refs:
+            if r["bucket"] in dead_buckets and r["path"] not in loaded:
+                loaded.add(r["path"])
+                doc = _try_read(r["path"])
+                d = data_refs(doc) if doc is not None else None
+                if d is None:
+                    return  # cannot prove unreferenced: delete nothing
+                kept_data |= d
+        for rel in sorted((dead_data | pruned_data) - kept_data):
+            try:
+                os.remove(os.path.join(target, rel))
+            except OSError:
+                pass
+        for rel in dead_parts:
+            try:
+                os.remove(os.path.join(target, rel))
+            except OSError:
+                pass
+        if any_kept_split:
+            # No full kept-reference set in hand: leave unreferenced-
+            # file aging (and empty-dir sweeping) to table_vacuum.
+            return
         now = time.time()
         data_root = os.path.join(target, DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, target).replace(os.sep, "/")
-                if rel in kept_refs:
+                if rel in kept_data:
                     continue
-                if rel in pruned_refs:
+                if rel in pruned_data or rel in dead_data:
                     pass  # committed-then-superseded: delete now
                 else:
                     try:
@@ -1120,14 +1544,14 @@ def _prune_manifests(target: str, current: str) -> None:
         pass
 
 
-def _files_for_keys(spark, man: dict, keys: list) -> list[dict]:
-    """Manifest entries whose bucket can contain one of ``keys`` —
-    the read-side payoff of the bucketed layout: bucket membership is
-    the same pmod(xxhash64(key), n) arithmetic the writer used, so a
-    point lookup needs no index, just the manifest.  Evaluated with
-    one Spark expression over a keys-sized local frame (xxhash64 is a
-    JVM function; re-implementing it Python-side would be a second
-    source of truth that could silently drift)."""
+def _buckets_for_keys(spark, man: dict, keys: list) -> set[int]:
+    """Buckets that can contain one of ``keys`` — the read-side payoff
+    of the bucketed layout: bucket membership is the same
+    pmod(xxhash64(key), n) arithmetic the writer used, so a point
+    lookup needs no index, just the manifest.  Evaluated with one
+    Spark expression over a keys-sized local frame (xxhash64 is a JVM
+    function; re-implementing it Python-side would be a second source
+    of truth that could silently drift)."""
     from pyspark.sql.types import StructField, StructType
     import json as _json
 
@@ -1136,7 +1560,7 @@ def _files_for_keys(spark, man: dict, keys: list) -> list[dict]:
     kdf = spark.createDataFrame(
         [(k,) for k in keys], StructType([StructField(key_field.name, key_field.dataType)])
     )
-    wanted = {
+    return {
         r["b"]
         for r in kdf.select(
             _bucket_expr(man["bucket_key"], int(man["n_buckets"])).alias("b")
@@ -1144,7 +1568,14 @@ def _files_for_keys(spark, man: dict, keys: list) -> list[dict]:
         .distinct()
         .collect()
     }
-    return [e for e in man["files"] if e["bucket"] in wanted]
+
+
+def _files_for_keys(spark, man: dict, keys: list, target: str = "") -> list[dict]:
+    """Manifest entries whose bucket can contain one of ``keys`` (kept
+    as the test-visible seam; split tables load only those buckets'
+    parts)."""
+    wanted = _buckets_for_keys(spark, man, keys)
+    return _man_entries(target, man, buckets=wanted)[0]
 
 
 def table_lookup(spark, target: str, keys: list) -> DataFrame:
@@ -1152,12 +1583,15 @@ def table_lookup(spark, target: str, keys: list) -> DataFrame:
     the files of the keys' buckets.  At 100 TB / 32k buckets a lookup
     touches a few GB instead of the table; the residual filter inside
     the scanned buckets is an ordinary pushed-down parquet predicate.
-    Returns an empty (correctly-typed) frame when no bucket matches."""
+    On a split-manifest table the driver likewise parses only those
+    buckets' manifest parts.  Returns an empty (correctly-typed) frame
+    when no bucket matches."""
     from pyspark.sql import functions as F
 
     man = _load_manifest(target)
-    entries = _files_for_keys(spark, man, keys)
-    df = _masked_scan(spark, target, man, entries)
+    wanted = _buckets_for_keys(spark, man, keys)
+    entries, tombs = _man_entries(target, man, buckets=wanted)
+    df = _masked_scan(spark, target, man, entries, tombs)
     return df.filter(F.col(man["bucket_key"]).isin(keys))
 
 
@@ -1206,10 +1640,15 @@ def table_append(spark, target: str, rows: DataFrame) -> dict:
         # Empty batch: no-op, no commit (review r17 — same discipline
         # as table_compact; a no-op generation would evict a retained
         # time-travel manifest for nothing).
-        return {"new_files": 0, "total_files": len(man["files"])}
-    manifest = dict(man, files=man["files"] + entries, seq=new_seq)
+        return {"new_files": 0, "total_files": _man_file_count(man)}
+    # Split tables: only the appended buckets' parts are loaded and
+    # rewritten (old entries carry INTO the new part; other buckets'
+    # parts carry by reference).
+    manifest = _man_update(
+        target, man, _group_listings(target, man, new_files=entries), new_seq
+    )
     _commit_manifest(target, manifest, expect_current=base_name)
-    return {"new_files": len(entries), "total_files": len(manifest["files"])}
+    return {"new_files": len(entries), "total_files": _man_file_count(manifest)}
 
 
 def table_merge_mor(spark, target: str, updates: DataFrame) -> dict:
@@ -1261,7 +1700,7 @@ def table_merge_mor(spark, target: str, updates: DataFrame) -> dict:
         return {
             "delta_files": 0,
             "tombstone_files": 0,
-            "live_tombstone_files": len(man.get("tombstones", [])),
+            "live_tombstone_files": _man_tomb_count(man),
         }
     # Tombstone keys are derived by READING BACK the just-written delta
     # files, not by re-evaluating the updates lineage (review r17): a
@@ -1277,17 +1716,17 @@ def table_merge_mor(spark, target: str, updates: DataFrame) -> dict:
     tomb_entries = _write_bucketed(
         delta_keys, target, key, n_buckets, gen=new_seq
     )
-    manifest = dict(
+    manifest = _man_update(
+        target,
         man,
-        files=man["files"] + entries,
-        tombstones=man.get("tombstones", []) + tomb_entries,
-        seq=new_seq,
+        _group_listings(target, man, new_files=entries, new_tombs=tomb_entries),
+        new_seq,
     )
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "delta_files": len(entries),
         "tombstone_files": len(tomb_entries),
-        "live_tombstone_files": len(manifest["tombstones"]),
+        "live_tombstone_files": _man_tomb_count(manifest),
     }
 
 
@@ -1317,15 +1756,30 @@ def table_compact(
     base_name = _live_manifest_name(target)
     man = _load_manifest(target)
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
-    per_bucket: dict[int, list[dict]] = {}
-    for e in man["files"]:
-        per_bucket.setdefault(e["bucket"], []).append(e)
-    tomb_buckets = {t["bucket"] for t in man.get("tombstones", [])}
-
     mrpf = man.get("max_records_per_file")
 
-    def needs_packing(files: list[dict]) -> bool:
-        if len(files) < min_files:
+    # Per-bucket (n_files, rows-or-None, n_tombstones) — from part
+    # refs WITHOUT loading any part in split mode (candidate selection
+    # is O(buckets) driver work), from the entry lists inline.
+    # Buckets holding only tombstones are included (review r17): a
+    # tombstone can live in a bucket with ZERO data files
+    # (table_delete of an absent key) — skipping it would leave
+    # readers paying its anti-join and table_merge refusing the
+    # bucket forever.
+    meta: dict[int, list] = {}
+    if "parts" in man:
+        for ref in man["parts"]:
+            meta[ref["bucket"]] = [ref["files"], ref["rows"], ref["tombstones"]]
+    else:
+        for e in man["files"]:
+            m = meta.setdefault(e["bucket"], [0, 0, 0])
+            m[0] += 1
+            m[1] = None if m[1] is None or e.get("rows") is None else m[1] + e["rows"]
+        for t in man.get("tombstones", []):
+            meta.setdefault(t["bucket"], [0, 0, 0])[2] += 1
+
+    def needs_packing(nf: int, rows) -> bool:
+        if nf < min_files:
             return False
         if not mrpf:
             return True  # unclustered table: >1 file per bucket is slack
@@ -1335,52 +1789,42 @@ def table_compact(
         # every compact run would rewrite every clustered bucket
         # forever.  Row counts ride the manifest; entries from
         # pre-rows manifests fall back to the unclustered rule.
-        rows = [e.get("rows") for e in files]
-        if any(r is None for r in rows):
+        if rows is None:
             return True
         import math
 
-        return len(files) > max(1, math.ceil(sum(rows) / int(mrpf)))
+        return nf > max(1, math.ceil(rows / int(mrpf)))
 
-    # tomb_buckets unioned separately (review r17): a tombstone can
-    # live in a bucket with ZERO data files (table_delete of an absent
-    # key) — iterating per_bucket alone would never clear it, leaving
-    # readers paying its anti-join and table_merge refusing the bucket
-    # forever.
     candidates = sorted(
-        {b for b, fs in per_bucket.items() if needs_packing(fs)}
-        | tomb_buckets
+        b for b, (nf, rows, nt) in meta.items() if needs_packing(nf, rows) or nt
     )
     if max_buckets is not None:
         candidates = candidates[:max_buckets]
+    files_before = _man_file_count(man)
     if not candidates:
         return {
             "compacted_buckets": [],
-            "files_before": len(man["files"]),
-            "files_after": len(man["files"]),
+            "files_before": files_before,
+            "files_after": files_before,
             "tombstones_cleared": 0,
         }
     cand = set(candidates)
-    rewritten = [e for e in man["files"] if e["bucket"] in cand]
-    carried = [e for e in man["files"] if e["bucket"] not in cand]
+    rewritten, cand_tombs = _man_entries(target, man, buckets=cand)
     new_seq = int(man.get("seq", -1)) + 1
-    masked = _masked_scan(spark, target, man, rewritten)
+    masked = _masked_scan(spark, target, man, rewritten, cand_tombs)
     entries = _write_bucketed(
         masked, target, key, n_buckets, gen=new_seq, **_cluster_args(man)
     )
-    kept_tombs = [
-        t for t in man.get("tombstones", []) if t["bucket"] not in cand
-    ]
-    cleared = len(man.get("tombstones", [])) - len(kept_tombs)
-    manifest = dict(
-        man, files=carried + entries, tombstones=kept_tombs, seq=new_seq
-    )
+    listing: dict[int, tuple[list, list]] = {b: ([], []) for b in cand}
+    for e in entries:
+        listing[e["bucket"]][0].append(e)
+    manifest = _man_update(target, man, listing, new_seq)
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "compacted_buckets": candidates,
-        "files_before": len(man["files"]),
-        "files_after": len(manifest["files"]),
-        "tombstones_cleared": cleared,
+        "files_before": files_before,
+        "files_after": _man_file_count(manifest),
+        "tombstones_cleared": len(cand_tombs),
     }
 
 
@@ -1417,17 +1861,15 @@ def table_delete(spark, target: str, keys: list) -> dict:
         # generation would burn a retention slot for nothing).
         return {
             "tombstone_files": 0,
-            "live_tombstone_files": len(man.get("tombstones", [])),
+            "live_tombstone_files": _man_tomb_count(man),
         }
-    manifest = dict(
-        man,
-        tombstones=man.get("tombstones", []) + tomb_entries,
-        seq=new_seq,
+    manifest = _man_update(
+        target, man, _group_listings(target, man, new_tombs=tomb_entries), new_seq
     )
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
         "tombstone_files": len(tomb_entries),
-        "live_tombstone_files": len(manifest["tombstones"]),
+        "live_tombstone_files": _man_tomb_count(manifest),
     }
 
 
@@ -1480,3 +1922,116 @@ def table_add_columns(spark, target: str, new_fields) -> dict:
     )
     _commit_manifest(target, manifest, expect_current=base_name)
     return {"added": [f.name for f in fields], "schema": evolved.simpleString()}
+
+
+def table_set_retention(target: str, keep_generations: int) -> dict:
+    """Set the table's RETENTION property (round 18, VERDICT r17 next
+    #4): how many committed generations — live included — stay
+    readable for :func:`table_read(at=...)` time travel and rollback
+    before the commit-path pruner reclaims them.  A metadata-only
+    commit (one manifest write + pointer swap, O(1) in table size),
+    optimistic-concurrency-checked like every other commit.
+
+    Raising retention takes effect immediately; LOWERING it reclaims
+    the excess generations on the NEXT data commit (the pruner runs
+    after every commit, including this one).  The property is the
+    table's stated time-travel SLA — :func:`table_vacuum` also honors
+    it when sweeping."""
+    if int(keep_generations) < 1:
+        raise ValueError("keep_generations must be >= 1 (the live manifest)")
+    base_name = _live_manifest_name(target)
+    man = _load_manifest(target)
+    manifest = dict(
+        man,
+        keep_generations=int(keep_generations),
+        seq=int(man.get("seq", -1)) + 1,
+    )
+    _commit_manifest(target, manifest, expect_current=base_name)
+    return {"keep_generations": int(keep_generations)}
+
+
+def table_vacuum(target: str, older_than_s: float = ORPHAN_GRACE_S) -> dict:
+    """Full-sweep maintenance janitor (round 18, VERDICT r17 next #4;
+    Iceberg's remove-orphan-files): delete every file under the table
+    root that NO retained manifest references and that is older than
+    ``older_than_s`` (the in-flight-commit grace — a concurrent
+    writer's unreferenced-but-recent files are never touched).
+
+    This is the one deliberately O(table-manifest) driver job: it
+    loads every retained root AND every retained part to build the
+    full live-reference set — exactly the cost the commit-path pruner
+    avoids by construction (split tables defer orphan aging to here).
+    Run it as a scheduled maintenance window, not per commit.
+
+    Reclaims: crashed-commit data/part orphans, roots beyond the
+    retention property (enforcing a lowered retention without waiting
+    for a data commit), and empty data directories.  Never deletes a
+    file referenced by any retained manifest — time travel to every
+    retained generation stays row-exact (pytest-pinned).  Aborts
+    (deleting nothing) if any retained manifest or part is unreadable.
+    Returns {"data_files_removed", "part_files_removed",
+    "roots_removed", "kept_manifests"}."""
+    import time
+
+    live = _live_manifest_name(target)
+    if not live.startswith(MANIFEST_PREFIX):
+        raise ValueError(
+            f"{target} is not a v2 manifest table (pointer names {live!r})"
+        )
+    man = _read_json(os.path.join(target, live))
+    keep_n = int(man.get("keep_generations") or KEEP_GENERATIONS)
+    others = sorted(
+        (
+            n
+            for n in os.listdir(target)
+            if n.startswith(MANIFEST_PREFIX) and n != live
+        ),
+        key=lambda n: _manifest_seq(os.path.join(target, n)),
+        reverse=True,
+    )
+    retained = [live] + others[: keep_n - 1]
+    excess_roots = others[keep_n - 1 :]
+    refs: set[str] = set()
+    for name in retained:
+        doc = _read_json(os.path.join(target, name))  # raises → abort
+        if "parts" in doc:
+            for r in doc["parts"]:
+                refs.add(r["path"])
+                part = _read_json(os.path.join(target, r["path"]))
+                refs |= {e["path"] for e in part["files"]}
+                refs |= {t["path"] for t in part["tombstones"]}
+        else:
+            refs |= {e["path"] for e in doc["files"]}
+            refs |= {t["path"] for t in doc.get("tombstones", [])}
+    now = time.time()
+    removed = {"data": 0, "parts": 0}
+    for sub, kind in ((DATA_DIR, "data"), (PARTS_DIR, "parts")):
+        root = os.path.join(target, sub)
+        for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, target).replace(os.sep, "/")
+                if rel in refs:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < older_than_s:
+                        continue  # possibly in-flight — leave it
+                    os.remove(full)
+                    removed[kind] += 1
+                except OSError:
+                    continue
+            try:
+                os.rmdir(dirpath)  # only succeeds when emptied
+            except OSError:
+                pass
+    for n in excess_roots:
+        try:
+            os.remove(os.path.join(target, n))
+        except OSError:
+            pass
+    return {
+        "data_files_removed": removed["data"],
+        "part_files_removed": removed["parts"],
+        "roots_removed": len(excess_roots),
+        "kept_manifests": retained,
+    }

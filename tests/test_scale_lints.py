@@ -63,10 +63,12 @@ WHITELIST = {
     # parquet column stats make the scan metadata-speed) shared by both
     # merge queries, ADVICE r13's collision-free insert-key derivation
     "sources/scan_queries.py": 1,
-    # table_merge's touched-bucket probe and _files_for_keys' lookup
+    # table_merge's touched-bucket probe and _buckets_for_keys' lookup
     # bucket derivation: both distinct bucket-id collects, ≤ n_buckets
-    # ints by construction (VERDICT r15 #2)
-    "sources/commit.py": 2,
+    # ints by construction (VERDICT r15 #2); plus _zorder_expr's 1-row
+    # min/max bounds aggregate (4 scalars per clustering batch — the
+    # z-value normalization, round 18)
+    "sources/commit.py": 3,
 }
 
 #: every DataFrame → driver materialization spelling, not just the two

@@ -260,6 +260,36 @@ _STATS_OK = ("int", "uint", "float", "double", "string", "large_string",
              "date", "timestamp")
 
 
+#: Max recorded length for STRING bounds in manifest stats (round 18,
+#: the Iceberg write.metadata.truncate position): long string bounds —
+#: comment-class columns — dominated manifest size while pruning on
+#: them almost never fires past a short prefix.  32 keeps the 26-char
+#: fixed-width datetime encodings intact.
+_STR_BOUND_MAX = 32
+
+
+def _trunc_lower(s: str) -> str:
+    """A lower bound truncated to a prefix stays a valid lower bound
+    (a proper prefix orders BEFORE the full string)."""
+    return s[:_STR_BOUND_MAX]
+
+
+def _trunc_upper(s: str):
+    """An upper bound must ROUND UP when truncated (the bare prefix
+    would order below the true max — a lossy prune): increment the
+    last kept char, carrying left; None (= unknown, keep the file)
+    if unrepresentable."""
+    if len(s) <= _STR_BOUND_MAX:
+        return s
+    p = s[:_STR_BOUND_MAX]
+    while p:
+        c = ord(p[-1])
+        if c < 0x10FFFF:
+            return p[:-1] + chr(c + 1)
+        p = p[:-1]
+    return None
+
+
 def _json_stat(v):
     """A parquet footer statistic as a JSON value whose natural Python
     ordering matches the column ordering.  Datetimes are normalized to
@@ -339,6 +369,10 @@ def _file_stats(full_path: str) -> dict[str, list]:
         if nc is not None:
             nulls[name] = nc
         if ok and mn is not None:
+            if isinstance(mn, str) and isinstance(mx, str):
+                mn, mx = _trunc_lower(mn), _trunc_upper(mx)
+                if mx is None:
+                    continue  # untruncatable upper bound: record none
             out[name] = [mn, mx]
     return out
 
@@ -567,7 +601,13 @@ def _commit_manifest(
     writers instead of merely short."""
     import json
 
-    name = f"{MANIFEST_PREFIX}{uuid.uuid4().hex[:12]}.json"
+    # The commit SEQUENCE rides the FILENAME (round 18): retention
+    # ordering then needs a directory listing, not a JSON parse per
+    # root — at split-manifest scale the roots are the largest JSON
+    # documents in the table, and the pruner sorts them on every
+    # commit.  Zero-padded so lexicographic = numeric.
+    seq = int(manifest.get("seq", -1))
+    name = f"{MANIFEST_PREFIX}{seq:010d}-{uuid.uuid4().hex[:12]}.json"
     tmp = os.path.join(target, f".{name}.tmp")
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(manifest, f)
@@ -596,7 +636,7 @@ def _commit_manifest(
             except OSError:
                 pass
         raise
-    _prune_manifests(target, name)
+    _prune_manifests(target, name, cur_man=manifest)
     return name
 
 
@@ -604,7 +644,15 @@ def _manifest_seq(path: str) -> int:
     """Commit sequence recorded in a manifest (−1 when unreadable or
     pre-seq) — the deterministic retention/time-travel order.  mtime
     is NOT used: its granularity (1 s on some filesystems) and clock
-    skew on shared stores can misorder close commits (review r16)."""
+    skew on shared stores can misorder close commits (review r16).
+    Since round 18 the sequence is embedded in the filename
+    (``manifest-<seq10>-<uuid>.json``) so ordering needs no JSON
+    parse; pre-r18 names fall back to reading the document."""
+    import re as _re
+
+    m = _re.match(rf"{MANIFEST_PREFIX}(\d{{10}})-", os.path.basename(path))
+    if m:
+        return int(m.group(1))
     try:
         return int(_read_json(path).get("seq", -1))
     except (OSError, ValueError, TypeError):
@@ -647,35 +695,21 @@ def _schema_shape(st):
 # ---------------------------------------------------------------------------
 
 
-def _part_stats_union(files: list[dict]) -> dict[str, list]:
-    """Part-level [min, max] per column: the union of the part's file
-    stats, recorded only for columns EVERY file has stats for (a
-    stats-less file makes the part's bound unknowable for that column
-    — recording a partial union could lossily prune the part)."""
-    if not files:
-        return {}
-    cols = set(files[0].get("stats", {}))
-    for e in files[1:]:
-        cols &= set(e.get("stats", {}))
-    out = {}
-    for c in cols:
-        mns, mxs = zip(*(e["stats"][c] for e in files))
-        try:
-            out[c] = [min(mns), max(mxs)]
-        except TypeError:
-            continue  # mixed encodings: leave the part unprunable on c
-    return out
-
-
-def _write_part(target: str, bucket: int, files: list[dict], tombs: list[dict]) -> dict:
+def _write_part(
+    target: str, bucket: int, files: list[dict], tombs: list[dict]
+) -> dict:
     """Write one bucket's manifest PART file and return its root-level
     ref.  The ref carries everything commit-path planning needs so the
     part itself is loaded only when the bucket is actually touched or
-    scanned: entry counts, summed rows/bytes (compaction's capacity
-    rule), and the part-level stats union (range pruning selects parts
-    before loading them).  Parts are immutable and unreferenced until
-    the root commits — a crash leaves an orphan for vacuum, never a
-    visible state."""
+    scanned: entry counts and summed rows/bytes (compaction's capacity
+    rule and scan sizing).  Deliberately NO column stats at the ref
+    level (round 18, measured): hash routing mixes every bucket, so a
+    per-bucket part's column union always spans the full domain —
+    ref-level bounds cost root bytes (the one document every commit
+    parses) and can never prune.  Column pruning lives at the per-FILE
+    entry level, where intra-bucket clustering makes bounds tight.
+    Parts are immutable and unreferenced until the root commits — a
+    crash leaves an orphan for vacuum, never a visible state."""
     import json
 
     os.makedirs(os.path.join(target, PARTS_DIR), exist_ok=True)
@@ -694,25 +728,20 @@ def _write_part(target: str, bucket: int, files: list[dict], tombs: list[dict]) 
         "tombstones": len(tombs),
         "rows": None if any(r is None for r in rows) else sum(rows),
         "bytes": sum(e.get("bytes") or 0 for e in files),
-        "stats": _part_stats_union(files),
     }
 
 
 def _man_entries(
-    target: str,
-    man: dict,
-    buckets=None,
-    preds: list | None = None,
+    target: str, man: dict, buckets=None
 ) -> tuple[list[dict], list[dict]]:
     """The (data files, tombstones) a manifest makes visible,
     restricted to ``buckets`` when given — the ONE accessor every op
     reads listings through.  Inline manifests filter in memory; split
     manifests load ONLY the parts for those buckets, which is the
-    whole point of the layout.  ``preds`` = [(col, lo, hi, dtype)]
-    additionally skips parts whose part-level stats union cannot
-    intersect EVERY range (safe to drop whole parts: a part's
-    tombstones can only mask rows of its OWN bucket, which all live
-    in that same part)."""
+    whole point of the layout.  A range read without a bucket
+    restriction parses all parts — O(buckets) driver work by design
+    (column pruning then happens per entry; see :func:`_write_part`
+    for why the refs carry no column bounds)."""
     if "parts" not in man:
         files = man["files"]
         tombs = man.get("tombstones", [])
@@ -723,14 +752,6 @@ def _man_entries(
     files, tombs = [], []
     for ref in man["parts"]:
         if buckets is not None and ref["bucket"] not in buckets:
-            continue
-        if (
-            preds
-            and ref["files"] > 0
-            and not all(
-                _stats_overlap(ref, c, lo, hi, dtype) for c, lo, hi, dtype in preds
-            )
-        ):
             continue
         doc = _read_json(os.path.join(target, ref["path"]))
         files.extend(doc["files"])
@@ -901,7 +922,8 @@ def table_init(
         for e in entries:
             by_bucket.setdefault(e["bucket"], []).append(e)
         manifest["parts"] = [
-            _write_part(target, b, fs, []) for b, fs in sorted(by_bucket.items())
+            _write_part(target, b, fs, [])
+            for b, fs in sorted(by_bucket.items())
         ]
     else:
         manifest["files"] = entries
@@ -1168,8 +1190,8 @@ def table_read(
     [min, max] for ``col`` cannot intersect the range are never
     scanned — the Iceberg/Delta scan-planning core, reaching
     predicates bucket arithmetic can't (the bucket key hashes away
-    order).  Split tables prune whole manifest PARTS first (part-ref
-    stats union), so non-overlapping buckets are never even parsed.
+    order).  On a split table a range read parses every part —
+    O(buckets), the layout's stated cost — and then prunes per entry.
     Files without recorded stats for ``col`` are kept (absent =
     unknown); the residual filters still apply row-level, pushed into
     the parquet scan as usual."""
@@ -1184,7 +1206,7 @@ def table_read(
     if where is not None:
         preds = [where] if isinstance(where, tuple) else list(where)
     preds = [(c, lo, hi, _col_typename(man, c)) for (c, lo, hi) in preds]
-    entries, tombs = _man_entries(target, man, preds=preds or None)
+    entries, tombs = _man_entries(target, man)
     for c, lo, hi, dtype in preds:
         entries = [e for e in entries if _stats_overlap(e, c, lo, hi, dtype)]
     df = _masked_scan(spark, target, man, entries, tombs)
@@ -1384,7 +1406,7 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
     }
 
 
-def _prune_manifests(target: str, current: str) -> None:
+def _prune_manifests(target: str, current: str, cur_man: dict | None = None) -> None:
     """Reclaim superseded manifests and their data files, keeping the
     live manifest plus the newest ``keep_generations - 1`` others by
     commit SEQUENCE (retention is the TABLE PROPERTY recorded in the
@@ -1434,7 +1456,8 @@ def _prune_manifests(target: str, current: str) -> None:
             return None
 
     try:
-        cur_man = _try_read(current)
+        if cur_man is None:  # the committer passes its dict; re-read otherwise
+            cur_man = _try_read(current)
         keep_n = (
             int(cur_man.get("keep_generations") or KEEP_GENERATIONS)
             if cur_man

@@ -55,10 +55,13 @@ def test_split_init_layout_and_read_roundtrip(spark, tmp_path):
         "one part per bucket"
     )
     assert _rows(spark, target) == sorted(tuple(r) for r in _base(spark).collect())
-    # Part refs carry planning metadata: counts, rows, bytes, stats.
+    # Part refs carry planning metadata: counts, rows, bytes.  No
+    # column bounds by design — a hash bucket's union spans the full
+    # domain, so ref-level stats could never prune (commit.py
+    # _write_part).
     for r in man["parts"]:
         assert r["files"] >= 1 and r["rows"] >= 1 and r["bytes"] > 0
-        assert "o_orderkey" in r["stats"]
+        assert "stats" not in r
 
 
 def test_split_merge_parses_only_touched_buckets(spark, tmp_path):
@@ -100,17 +103,16 @@ def test_split_lookup_parses_one_bucket(spark, tmp_path):
 
 
 def test_split_pruned_range_read_skips_parts(spark, tmp_path):
-    """table_read(where=) on a split table prunes at PART level first
-    (part-ref stats union) — non-overlapping parts are never parsed,
-    let alone their files scanned."""
+    """table_read(where=) on a split table: parts are parsed
+    (O(buckets) — the layout's stated range-read cost; ref-level
+    column bounds could never prune a hash-mixed bucket), then FILE
+    entries prune on their footer stats exactly as inline — rows
+    exact, banded files skipped."""
     target = str(tmp_path / "t")
     frame = _base(spark, 1000)
-    # One bucket, clustered by v with small files -> many parts?  No:
-    # parts are per bucket.  Use appends of disjoint v-bands instead,
-    # each landing new files in the same buckets; part-level pruning
-    # needs DISTINCT parts to skip, so spread bands across INIT + two
-    # appends on a 4-bucket table and prune on k (hash-scattered, so
-    # use v = k*1.5 bands via separate init/append batches).
+    # Disjoint value bands land in distinct COMMITS (init + append),
+    # so within each bucket's part the per-entry stats are banded and
+    # entry-level pruning fires.
     cm.table_init(
         frame.filter(F.col("o_orderkey") < 100), target, "o_orderkey", n_buckets=4,
         split_manifest=True,
@@ -437,3 +439,30 @@ def test_zorder_refuses_bad_columns(spark, tmp_path):
             df, str(tmp_path / "b"), "o_orderkey", n_buckets=1,
             cluster_by=["o_orderkey", "o_orderkey", "o_orderkey"],
         )
+
+
+def test_string_bound_truncation_is_sound():
+    """Iceberg-style string-bound truncation (round 18): a truncated
+    LOWER bound must still order <= every value it bounds (prefix
+    property); a truncated UPPER bound must order >= (last kept char
+    incremented).  A file whose true bounds contain a probe value must
+    still overlap after truncation — truncation may only widen."""
+    long_lo = "aaaa" + "x" * 60
+    long_hi = "zzzz" + "a" * 60
+    lo_t, hi_t = cm._trunc_lower(long_lo), cm._trunc_upper(long_hi)
+    assert len(lo_t) <= cm._STR_BOUND_MAX
+    assert len(hi_t) <= cm._STR_BOUND_MAX
+    assert lo_t <= long_lo
+    assert hi_t >= long_hi, "upper truncation must round UP"
+    # Overlap preserved for any value inside the true range.
+    entry = {"stats": {"c": [lo_t, hi_t]}}
+    for probe in (long_lo, long_hi, "mmm"):
+        assert cm._stats_overlap(entry, "c", probe, probe)
+    # Short strings unchanged; datetime encodings (26 chars) untouched.
+    assert cm._trunc_upper("short") == "short"
+    dt = "2024-01-06T00:00:00.000000"
+    assert cm._trunc_upper(dt) == dt and cm._trunc_lower(dt) == dt
+    # Carry path: last char at the cap boundary increments cleanly.
+    s = "b" * 31 + chr(0x10FFFF) + "tail-beyond"
+    up = cm._trunc_upper(s)
+    assert up is not None and up >= s[:32] and len(up) <= 32

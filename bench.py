@@ -327,6 +327,11 @@ REFERENCE = {
     "merge_upsert": 1.69,  # r13 idle band max (1.08-1.69; write jitter)
     "merge_scd2": 1.10,  # r13 idle band max (0.98-1.10)
     "triangles_sparse": 4.71,  # r14 idle band max (see BASELINE.md r14)
+    # Round-18 lakehouse maintenance rows (BASELINE.md §"Round-18
+    # regression reference"): band max of two same-day readings.
+    "lake_append": 1.32,  # 1.25 / 1.32
+    "lake_mor": 2.85,  # 2.34 / 2.84
+    "lake_compact": 3.90,  # 3.08 / 3.88
 }
 BAR_FACTOR = 2.0
 

@@ -2025,6 +2025,88 @@ def table_add_columns(spark, target: str, new_fields) -> dict:
     return {"added": [f.name for f in fields], "schema": evolved.simpleString()}
 
 
+def table_stats(target: str) -> dict:
+    """Table-level summary from manifest METADATA alone — no data I/O,
+    and on a split table no part loads either (the root's refs carry
+    counts/rows/bytes): files, rows (None when any file predates row
+    counts), bytes, live tombstone files, non-empty buckets, and the
+    bucket-skew ratio (max bucket bytes / mean — the number that says
+    whether the hash key is balanced enough for the rewrite
+    granularity).  The observability op a maintenance scheduler polls
+    to decide WHEN to run :func:`table_compact` / :func:`table_vacuum`."""
+    man = _load_manifest(target)
+    per_bucket: dict[int, dict] = {}
+    if "parts" in man:
+        for r in man["parts"]:
+            per_bucket[r["bucket"]] = {
+                "files": r["files"],
+                "rows": r["rows"],
+                "bytes": r["bytes"],
+                "tombstones": r["tombstones"],
+            }
+    else:
+        for e in man["files"]:
+            b = per_bucket.setdefault(
+                e["bucket"], {"files": 0, "rows": 0, "bytes": 0, "tombstones": 0}
+            )
+            b["files"] += 1
+            b["rows"] = (
+                None
+                if b["rows"] is None or e.get("rows") is None
+                else b["rows"] + e["rows"]
+            )
+            b["bytes"] += e.get("bytes") or 0
+        for t in man.get("tombstones", []):
+            per_bucket.setdefault(
+                t["bucket"], {"files": 0, "rows": 0, "bytes": 0, "tombstones": 0}
+            )["tombstones"] += 1
+    rows_known = [b["rows"] for b in per_bucket.values()]
+    bucket_bytes = [b["bytes"] for b in per_bucket.values()]
+    mean_bytes = sum(bucket_bytes) / len(bucket_bytes) if bucket_bytes else 0
+    return {
+        "seq": int(man.get("seq", -1)),
+        "n_buckets": int(man["n_buckets"]),
+        "buckets_nonempty": len(per_bucket),
+        "files": sum(b["files"] for b in per_bucket.values()),
+        "rows": None if any(r is None for r in rows_known) else sum(rows_known),
+        "bytes": sum(bucket_bytes),
+        "tombstone_files": sum(b["tombstones"] for b in per_bucket.values()),
+        "bucket_skew": (
+            round(max(bucket_bytes) / mean_bytes, 3) if mean_bytes else None
+        ),
+        "split_manifest": "parts" in man,
+        "cluster_by": man.get("cluster_by"),
+        "keep_generations": int(man.get("keep_generations") or KEEP_GENERATIONS),
+    }
+
+
+def with_commit_retry(fn, attempts: int = 5, backoff_s: float = 0.1):
+    """Run a v2 commit op under the optimistic-concurrency protocol's
+    documented recovery: on :class:`ConcurrentCommitError`, re-run
+    ``fn`` (every table_* op re-reads the live manifest at entry, so
+    the retry sees the competing writer's state) with linear backoff,
+    up to ``attempts`` total tries.  Each failed attempt's data files
+    are orphans reclaimed by the grace-aged pruner / vacuum — the
+    protocol's stated cost for losing a race, not a leak.  Raises the
+    last ConcurrentCommitError when contention outlasts the budget.
+
+    Usage::
+
+        with_commit_retry(lambda: table_merge_mor(spark, target, batch))
+    """
+    import time
+
+    last: ConcurrentCommitError | None = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except ConcurrentCommitError as e:
+            last = e
+            if attempt < attempts - 1:
+                time.sleep(backoff_s * (attempt + 1))
+    raise last
+
+
 def table_set_retention(target: str, keep_generations: int) -> dict:
     """Set the table's RETENTION property (round 18, VERDICT r17 next
     #4): how many committed generations — live included — stay

@@ -555,3 +555,71 @@ def test_prefix_range_serves_like_predicates(spark, tmp_path):
         .collect()
     )
     assert got == list(range(100, 200))
+
+
+def test_table_stats_metadata_only(spark, tmp_path):
+    """table_stats reads manifest metadata only: on a split table ZERO
+    part files (metered), and the summary matches ground truth on both
+    layouts."""
+    base = _base(spark)
+    for split in (True, False):
+        target = str(tmp_path / ("s" if split else "i"))
+        cm.table_init(base, target, "o_orderkey", n_buckets=4, split_manifest=split)
+        cm.table_delete(spark, target, [1])
+        _reset_io()
+        st = cm.table_stats(target)
+        if split:
+            assert cm.MANIFEST_IO["part_reads"] == 0, "stats must not load parts"
+        assert st["rows"] == 400 and st["files"] >= 4
+        assert st["tombstone_files"] >= 1
+        assert st["buckets_nonempty"] == 4 and st["n_buckets"] == 4
+        assert st["split_manifest"] is split
+        assert st["bucket_skew"] >= 1.0
+        assert st["bytes"] > 0
+
+
+def test_with_commit_retry_wins_the_race(spark, tmp_path):
+    """with_commit_retry re-runs a commit that lost the optimistic
+    race: a competing writer lands first on attempt 1; the retry
+    re-reads the moved manifest and succeeds, and BOTH writers' rows
+    are visible (no lost update).  Exhausted budgets re-raise."""
+    target = _split_init(spark, tmp_path, n_buckets=4)
+    real_commit = cm._commit_manifest
+    state = {"raced": False}
+
+    def racing(tgt, manifest, expect_current=None):
+        if not state["raced"]:
+            state["raced"] = True
+            cm._commit_manifest = real_commit
+            cm.table_delete(spark, target, [399])  # competitor lands first
+            cm._commit_manifest = racing_noop_passthrough
+        return real_commit(tgt, manifest, expect_current=expect_current)
+
+    def racing_noop_passthrough(tgt, manifest, expect_current=None):
+        return real_commit(tgt, manifest, expect_current=expect_current)
+
+    cm._commit_manifest = racing
+    try:
+        cm.with_commit_retry(
+            lambda: cm.table_delete(spark, target, [7]), backoff_s=0.0
+        )
+    finally:
+        cm._commit_manifest = real_commit
+    assert state["raced"], "the race must actually have happened"
+    live = {r["o_orderkey"] for r in cm.table_read(spark, target).collect()}
+    assert 399 not in live and 7 not in live, "both writers' deletes visible"
+
+    # Budget exhaustion: a commit that ALWAYS loses re-raises.
+    def always_lose(tgt, manifest, expect_current=None):
+        raise cm.ConcurrentCommitError("synthetic permanent contention")
+
+    cm._commit_manifest = always_lose
+    try:
+        with pytest.raises(cm.ConcurrentCommitError):
+            cm.with_commit_retry(
+                lambda: cm.table_delete(spark, target, [8]),
+                attempts=3,
+                backoff_s=0.0,
+            )
+    finally:
+        cm._commit_manifest = real_commit

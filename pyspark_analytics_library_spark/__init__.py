@@ -48,6 +48,23 @@ __all__ = [
     "tokenize",
     "tumbling_agg",
     "sessionize",
+    # v2 lakehouse table surface (rounds 15-18, sources/commit.py)
+    "table_init",
+    "table_read",
+    "table_lookup",
+    "table_merge",
+    "table_merge_mor",
+    "table_append",
+    "table_delete",
+    "table_compact",
+    "table_add_columns",
+    "table_history",
+    "table_stats",
+    "table_vacuum",
+    "table_set_retention",
+    "with_commit_retry",
+    "prefix_range",
+    "resolve_table",
     "__version__",
 ]
 
@@ -112,6 +129,27 @@ def __getattr__(name: str):
             "pyspark_analytics_library_spark.operators.timeseries",
             "sessionize",
         ),
+        **{
+            name: ("pyspark_analytics_library_spark.sources.commit", name)
+            for name in (
+                "table_init",
+                "table_read",
+                "table_lookup",
+                "table_merge",
+                "table_merge_mor",
+                "table_append",
+                "table_delete",
+                "table_compact",
+                "table_add_columns",
+                "table_history",
+                "table_stats",
+                "table_vacuum",
+                "table_set_retention",
+                "with_commit_retry",
+                "prefix_range",
+                "resolve_table",
+            )
+        },
     }
     if name in lazy:
         import importlib

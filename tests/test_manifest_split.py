@@ -623,3 +623,31 @@ def test_with_commit_retry_wins_the_race(spark, tmp_path):
             )
     finally:
         cm._commit_manifest = real_commit
+
+
+def test_vacuum_on_inline_table(spark, tmp_path):
+    """table_vacuum works on the inline layout too: aged orphans die,
+    referenced files and young orphans survive, excess roots beyond a
+    lowered retention are reclaimed."""
+    target = str(tmp_path / "t")
+    cm.table_init(_base(spark), target, "o_orderkey", n_buckets=2)
+    cm.table_append(spark, target, _base(spark).filter(F.col("o_orderkey") >= 395))
+
+    old_dir = os.path.join(target, cm.DATA_DIR, "c-cafecafecafe", "bucket=0")
+    os.makedirs(old_dir)
+    old_file = os.path.join(old_dir, "orphan.parquet")
+    with open(old_file, "wb") as f:
+        f.write(b"\x00")
+    os.utime(old_file, (1, 1))
+
+    stats = cm.table_vacuum(target)
+    assert stats["data_files_removed"] == 1 and stats["part_files_removed"] == 0
+    assert not os.path.exists(old_file)
+    assert len(cm.table_history(target)) == 2  # retention honored
+    expect = sorted(
+        tuple(r)
+        for r in _base(spark)
+        .unionAll(_base(spark).filter(F.col("o_orderkey") >= 395))
+        .collect()
+    )
+    assert _rows(spark, target) == expect

@@ -651,3 +651,49 @@ def test_vacuum_on_inline_table(spark, tmp_path):
         .collect()
     )
     assert _rows(spark, target) == expect
+
+
+def test_streaming_foreach_batch_appends_into_v2_table(spark, tmp_path):
+    """Structured Streaming -> lakehouse sink (the Delta-style
+    pattern): a file-source stream lands each micro-batch into the v2
+    split table via foreachBatch + table_append — one atomic commit
+    per micro-batch, readers never see a partial batch.  Semantics
+    note, stated honestly: foreachBatch is at-least-once on retry; an
+    exactly-once sink would record the batch id in the manifest and
+    no-op replays (the idempotent-append pattern) — the commit layer
+    supports that via the same optimistic protocol, not built here."""
+    import pyspark.sql.functions as F2
+
+    src = tmp_path / "src"
+    frame = _base(spark, 300)
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        frame.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    target = str(tmp_path / "t")
+    cm.table_init(
+        frame.limit(0), target, "o_orderkey", n_buckets=2, split_manifest=True
+    )
+    commits = []
+
+    def handle(batch_df, batch_id):
+        st = cm.table_append(batch_df.sparkSession, target, batch_df)
+        commits.append((batch_id, st["new_files"]))
+
+    q = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish"
+    q.stop()
+
+    assert len(commits) == 3, commits
+    assert _rows(spark, target) == sorted(tuple(r) for r in frame.collect())
+    man = cm._load_manifest(target)
+    assert int(man["seq"]) == 3, "one manifest commit per micro-batch"

@@ -48,7 +48,7 @@ __all__ = [
     "tokenize",
     "tumbling_agg",
     "sessionize",
-    # v2 lakehouse table surface (rounds 15-18, sources/commit.py)
+    # v2 lakehouse table surface (rounds 15-19, sources/commit.py)
     "table_init",
     "table_read",
     "table_lookup",
@@ -62,6 +62,7 @@ __all__ = [
     "table_stats",
     "table_vacuum",
     "table_set_retention",
+    "table_drop_partition",
     "with_commit_retry",
     "prefix_range",
     "resolve_table",
@@ -145,6 +146,7 @@ def __getattr__(name: str):
                 "table_stats",
                 "table_vacuum",
                 "table_set_retention",
+                "table_drop_partition",
                 "with_commit_retry",
                 "prefix_range",
                 "resolve_table",

@@ -259,6 +259,131 @@ def _bucket_expr(key: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets))
 
 
+# ---------------------------------------------------------------------------
+# Round 19: PARTITION SPEC — declared table partitioning (VERDICT r18
+# next #1: every real 100-TB fact table is date/tenant-partitioned;
+# per-file min/max stats prune well only under time-ordered ingest,
+# while a declared partition drops whole directories from planning
+# BEFORE any stats pass, survives compaction reshuffles and late data,
+# and gives retention a partition-granular drop primitive.)
+#
+# Layout: data files gain one directory level —
+# ``data/<commit>/_part=<value>/bucket=<b>/part-*.parquet`` — and every
+# manifest entry / split-manifest part ref carries its partition value,
+# so the internal grouping key everywhere becomes (partition, bucket)
+# (:func:`_gkey`; ``part`` is None on unpartitioned tables and on every
+# pre-r19 manifest, which therefore keep reading unchanged).
+#
+# Tombstones are deliberately PARTITION-LESS (gkey (None, bucket)):
+# merge-on-read masking is keyed on the bucket key and an update may
+# MOVE a row's partition value, so a tombstone must mask the old row in
+# whatever partition it lies — the same reason Iceberg's equality
+# deletes are partition-scoped only when the writer can prove the key
+# set's partition.  The cost is honest: compaction of a tombstoned
+# bucket is bucket-wide; pure small-file packing stays partition-local.
+# ---------------------------------------------------------------------------
+
+#: Directory/manifest encoding of a NULL partition value (Hive's).
+NULL_PART = "__HIVE_DEFAULT_PARTITION__"
+
+#: Supported partition transforms (Iceberg's core three).
+_TRANSFORMS = ("identity", "day", "month")
+
+
+def _gkey(e: dict) -> tuple:
+    """The (partition, bucket) grouping key of a manifest entry or
+    split-part ref — THE unit of incremental rewrite since round 19.
+    ``part`` is absent/None on unpartitioned tables and tombstones."""
+    return (e.get("part"), e["bucket"])
+
+
+def _part_spec(man: dict):
+    """The table's recorded (partition column, transform), or None."""
+    col = man.get("partition_by")
+    return (col, man.get("partition_transform") or "identity") if col else None
+
+
+def _part_expr(df: DataFrame, col: str, transform: str):
+    """The ``_part`` helper column: the TRANSFORMED partition value as
+    a string (directory-safe for day/month; identity is cast).  NULL
+    source values map to :data:`NULL_PART` explicitly so the manifest
+    records the same token the directory layout uses."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.typeName()
+    if transform == "day":
+        if dt not in ("date", "timestamp", "timestamp_ntz"):
+            raise ValueError(
+                f"partition transform 'day' needs a date/timestamp column; "
+                f"{col!r} is {dt}"
+            )
+        v = F.date_format(F.col(col), "yyyy-MM-dd")
+    elif transform == "month":
+        if dt not in ("date", "timestamp", "timestamp_ntz"):
+            raise ValueError(
+                f"partition transform 'month' needs a date/timestamp column; "
+                f"{col!r} is {dt}"
+            )
+        v = F.date_format(F.col(col), "yyyy-MM")
+    elif transform == "identity":
+        if dt in ("array", "map", "struct", "binary"):
+            raise ValueError(
+                f"identity partitioning needs an atomic column; {col!r} is {dt}"
+            )
+        v = F.col(col).cast("string")
+    else:
+        raise ValueError(
+            f"unknown partition transform {transform!r}; supported: "
+            f"{_TRANSFORMS}"
+        )
+    return F.coalesce(v, F.lit(NULL_PART))
+
+
+def _part_value(transform: str, v) -> str | None:
+    """A predicate bound mapped into partition-value space (the same
+    encoding :func:`_part_expr` writes), for partition pruning.  None =
+    unmappable → do not prune on this bound."""
+    import datetime
+
+    if v is None:
+        return None
+    if transform in ("day", "month"):
+        need = 10 if transform == "day" else 7
+        if isinstance(v, datetime.datetime):
+            s = v.strftime("%Y-%m-%d")
+        elif isinstance(v, datetime.date):
+            s = v.isoformat()
+        elif isinstance(v, str) and len(v) >= need:
+            # A shorter string bound (e.g. '2024-01' against a day
+            # transform) would compare lossily against full-width
+            # partition values — unmappable, don't prune.
+            s = v
+        else:
+            return None
+        return s[:need]
+    if transform == "identity":
+        # Only encodings PROVABLY identical to Spark's cast-to-string:
+        # bool/int/str/date.  Floats (scientific-notation drift:
+        # Python '1e-07' vs Spark '1.0E-7') and datetimes (separator /
+        # zero-fraction drift) are unmappable → no pruning on them.
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, int) or isinstance(v, str):
+            return str(v)
+        if isinstance(v, datetime.datetime):
+            return None
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return None
+    return None
+
+
+#: Identity transforms whose STRING encoding preserves the column's
+#: value ordering — the only ones range-pruning may use (a numeric
+#: identity partition is equality-prunable only: "10" < "9").
+_IDENTITY_RANGE_OK = ("string", "date")
+
+
 #: Max columns per file that get min/max stats in the manifest
 #: (Iceberg's write.metadata.metrics default caps similarly): keeps a
 #: wide table's manifest from bloating linearly in column count.
@@ -395,9 +520,13 @@ _Z_CELLS = 64
 
 
 def _zorder_expr(df: DataFrame, cols: list[str]):
-    """12-bit Z-value (bit-interleaved 6-bit QUANTILE ranks) over two
+    """12-bit Z-value (bit-interleaved QUANTILE ranks) over 2 or 3
     numeric/temporal columns — the intra-bucket MULTI-column sort key
     (round 18, VERDICT r17 next #6; Delta's OPTIMIZE ZORDER position).
+    Two columns interleave 6-bit ranks (64 quantile cells each); three
+    columns interleave 4-bit ranks (16 cells each, round 19 — the same
+    12-bit z budget, so the sort key and the per-column boundary agg
+    stay the same size as dimensions are added).
 
     Ranks are quantile CELLS, not min/max scaling (measured: a skewed
     or outlier-stretched distribution compresses most rows into a
@@ -428,7 +557,8 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
             )
         return F.col(c).cast("double")
 
-    qs = [i / _Z_CELLS for i in range(1, _Z_CELLS)]
+    cells = _Z_CELLS if len(cols) <= 2 else 16
+    qs = [i / cells for i in range(1, cells)]
     brow = df.agg(
         *[
             F.percentile_approx(as_double(c), qs).alias(f"_q{i}")
@@ -449,7 +579,7 @@ def _zorder_expr(df: DataFrame, cols: list[str]):
             lambda acc, b: acc + F.when(v > b, 1).otherwise(0),
         )
         ranks.append(rank.cast("long"))
-    bits = (_Z_CELLS - 1).bit_length()
+    bits = (cells - 1).bit_length()
     z = F.lit(0).cast("long")
     for bit in range(bits):
         for j, u in enumerate(ranks):
@@ -468,6 +598,7 @@ def _write_bucketed(
     gen: int = 0,
     cluster_by=None,
     max_records_per_file: int | None = None,
+    part_spec: tuple | None = None,
 ) -> list[dict]:
     """Write ``df`` hash-bucketed by ``key`` under a fresh commit dir;
     return manifest entries
@@ -486,10 +617,17 @@ def _write_bucketed(
     against tombstones by it.  ``stats`` carries per-file column
     min/max lifted from the parquet footers (round 17, VERDICT r16
     #4): file-level range pruning for predicates bucket arithmetic
-    can't touch."""
+    can't touch.
+
+    ``part_spec`` = ``(column, transform)`` (round 19) adds the
+    declared-partition directory level ``_part=<value>/`` ABOVE the
+    bucket dirs and stamps each entry with its partition value.  The
+    repartition then hashes on (partition, bucket) so each non-empty
+    (partition, bucket) combo lands in exactly one task → one file
+    (plus the max_records_per_file splitter)."""
     from pyspark.sql import functions as F
 
-    for reserved in ("bucket", "_zorder"):
+    for reserved in ("bucket", "_zorder", "_part"):
         if reserved in df.columns:
             # The helper column would collide (partitionBy would route
             # on the caller's data instead of the key hash; the sort
@@ -502,9 +640,18 @@ def _write_bucketed(
     commit_id = f"c-{uuid.uuid4().hex[:12]}"
     commit_dir = os.path.join(target, DATA_DIR, commit_id)
     try:
-        staged = df.withColumn("bucket", _bucket_expr(key, n_buckets)).repartition(
-            n_buckets, "bucket"
-        )
+        staged = df.withColumn("bucket", _bucket_expr(key, n_buckets))
+        sort_prefix = ["bucket"]
+        part_dirs = ["bucket"]
+        if part_spec is not None:
+            pcol, ptransform = part_spec
+            staged = staged.withColumn(
+                "_part", _part_expr(df, pcol, ptransform)
+            ).repartition("_part", "bucket")
+            sort_prefix = ["_part", "bucket"]
+            part_dirs = ["_part", "bucket"]
+        else:
+            staged = staged.repartition(n_buckets, "bucket")
         drop_helper = None
         if isinstance(cluster_by, (list, tuple)):
             # MULTI-column clustering (round 18): sort each bucket
@@ -514,58 +661,72 @@ def _write_bucketed(
             # column is sort-only: projected away before the write
             # (a narrow projection preserves the per-partition order).
             if len(cluster_by) == 1:
-                staged = staged.sortWithinPartitions("bucket", cluster_by[0])
+                staged = staged.sortWithinPartitions(*sort_prefix, cluster_by[0])
             else:
-                if len(cluster_by) != 2:
+                if len(cluster_by) not in (2, 3):
                     raise ValueError(
-                        "z-order clustering supports exactly 2 columns; got "
+                        "z-order clustering supports 2 or 3 columns; got "
                         f"{list(cluster_by)!r}"
                     )
                 drop_helper = "_zorder"
                 staged = staged.withColumn(
                     drop_helper, _zorder_expr(df, list(cluster_by))
-                ).sortWithinPartitions("bucket", drop_helper)
+                ).sortWithinPartitions(*sort_prefix, drop_helper)
         elif cluster_by is not None:
             # Intra-bucket CLUSTERING (round 17): sort each bucket
             # partition by the cluster column and split on row count —
             # consecutive files then carry near-disjoint [min, max]
             # for it, so the manifest stats prune RANGE reads WITHIN a
             # bucket (the 1-D analog of Delta's OPTIMIZE ZORDER).
-            staged = staged.sortWithinPartitions("bucket", cluster_by)
+            staged = staged.sortWithinPartitions(*sort_prefix, cluster_by)
         if drop_helper is not None:
             staged = staged.drop(drop_helper)
-        writer = staged.write.partitionBy("bucket").mode("overwrite")
+        writer = staged.write.partitionBy(*part_dirs).mode("overwrite")
         if max_records_per_file is not None:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(commit_dir)
     except BaseException:
         shutil.rmtree(commit_dir, ignore_errors=True)
         raise
+    from urllib.parse import unquote
+
     entries = []
-    for bucket_dir in sorted(os.listdir(commit_dir)):
-        if not bucket_dir.startswith("bucket="):
+    for dirpath, _dirnames, filenames in sorted(os.walk(commit_dir)):
+        base = os.path.basename(dirpath)
+        if not base.startswith("bucket="):
             continue
-        b = int(bucket_dir.split("=", 1)[1])
-        for fn in sorted(os.listdir(os.path.join(commit_dir, bucket_dir))):
+        b = int(base.split("=", 1)[1])
+        # Partitioned layouts nest bucket dirs under ``_part=<value>``;
+        # Spark percent-escapes special chars in partition dir names
+        # (Hive style) — unquote restores the recorded value.
+        parent = os.path.basename(os.path.dirname(dirpath))
+        part = (
+            unquote(parent.split("=", 1)[1])
+            if parent.startswith("_part=")
+            else None
+        )
+        rel_dir = os.path.relpath(dirpath, target).replace(os.sep, "/")
+        for fn in sorted(filenames):
             if fn.endswith(".parquet"):
-                full = os.path.join(commit_dir, bucket_dir, fn)
+                full = os.path.join(dirpath, fn)
                 stats = _file_stats(full)
                 nulls = stats.pop("_nulls", {})
-                entries.append(
-                    {
-                        "path": "/".join([DATA_DIR, commit_id, bucket_dir, fn]),
-                        "bucket": b,
-                        "gen": gen,
-                        "rows": stats.pop("_rows"),
-                        "bytes": os.path.getsize(full),
-                        # NULL count of the bucket key (round 18): the
-                        # clean/dirty MoR split needs it because footer
-                        # [min, max] never covers NULLs — absent/None =
-                        # unknown = assume NULLs present (never lossy).
-                        "key_nulls": nulls.get(key),
-                        "stats": stats,
-                    }
-                )
+                e = {
+                    "path": f"{rel_dir}/{fn}",
+                    "bucket": b,
+                    "gen": gen,
+                    "rows": stats.pop("_rows"),
+                    "bytes": os.path.getsize(full),
+                    # NULL count of the bucket key (round 18): the
+                    # clean/dirty MoR split needs it because footer
+                    # [min, max] never covers NULLs — absent/None =
+                    # unknown = assume NULLs present (never lossy).
+                    "key_nulls": nulls.get(key),
+                    "stats": stats,
+                }
+                if part is not None:
+                    e["part"] = part
+                entries.append(e)
     return entries
 
 
@@ -727,7 +888,11 @@ def _schema_shape(st):
 
 
 def _write_part(
-    target: str, bucket: int, files: list[dict], tombs: list[dict]
+    target: str,
+    bucket: int,
+    files: list[dict],
+    tombs: list[dict],
+    part: str | None = None,
 ) -> dict:
     """Write one bucket's manifest PART file and return its root-level
     ref.  The ref carries everything commit-path planning needs so the
@@ -752,7 +917,7 @@ def _write_part(
         json.dump({"bucket": bucket, "files": files, "tombstones": tombs}, f)
     os.replace(tmp, full)
     rows = [e.get("rows") for e in files]
-    return {
+    ref = {
         "path": rel,
         "bucket": bucket,
         "files": len(files),
@@ -760,73 +925,110 @@ def _write_part(
         "rows": None if any(r is None for r in rows) else sum(rows),
         "bytes": sum(e.get("bytes") or 0 for e in files),
     }
+    if part is not None:
+        # Partitioned tables (round 19): parts are keyed (partition,
+        # bucket) so a partition-pruned read loads ONLY that
+        # partition's part files — the whole point of the spec.
+        ref["part"] = part
+    return ref
 
 
 def _man_entries(
-    target: str, man: dict, buckets=None
+    target: str, man: dict, buckets=None, partitions=None, gkeys=None
 ) -> tuple[list[dict], list[dict]]:
     """The (data files, tombstones) a manifest makes visible,
-    restricted to ``buckets`` when given — the ONE accessor every op
-    reads listings through.  Inline manifests filter in memory; split
-    manifests load ONLY the parts for those buckets, which is the
-    whole point of the layout.  A range read without a bucket
-    restriction parses all parts — O(buckets) driver work by design
-    (column pruning then happens per entry; see :func:`_write_part`
-    for why the refs carry no column bounds)."""
+    restricted to ``buckets`` / ``partitions`` / exact ``gkeys`` when
+    given — the ONE accessor every op reads listings through.  Inline
+    manifests filter in memory; split manifests load ONLY the parts
+    surviving the filters, which is the whole point of the layout.  A
+    range read without any restriction parses all parts — O(parts)
+    driver work by design (column pruning then happens per entry; see
+    :func:`_write_part` for why the refs carry no column bounds).
+
+    TOMBSTONES are partition-less (round 19) and mask rows in ANY
+    partition of their bucket, so the ``partitions`` filter applies to
+    data files only — a partition-pruned read still sees every
+    tombstone of the surviving buckets.  The exact-``gkeys`` filter
+    (compaction's unit selector) is literal: tombstones are returned
+    only when their own (None, bucket) gkey is listed."""
+    if partitions is not None and not callable(partitions):
+        partitions = (lambda s: (lambda p: p in s))(set(partitions))
+
+    def want_file(e) -> bool:
+        if buckets is not None and e["bucket"] not in buckets:
+            return False
+        if partitions is not None and not partitions(e.get("part")):
+            return False
+        if gkeys is not None and _gkey(e) not in gkeys:
+            return False
+        return True
+
+    def want_tomb(t) -> bool:
+        if buckets is not None and t["bucket"] not in buckets:
+            return False
+        if gkeys is not None and _gkey(t) not in gkeys:
+            return False
+        return True
+
     if "parts" not in man:
-        files = man["files"]
-        tombs = man.get("tombstones", [])
-        if buckets is not None:
-            files = [e for e in files if e["bucket"] in buckets]
-            tombs = [t for t in tombs if t["bucket"] in buckets]
+        files = [e for e in man["files"] if want_file(e)]
+        tombs = [t for t in man.get("tombstones", []) if want_tomb(t)]
         return files, tombs
     files, tombs = [], []
     for ref in man["parts"]:
-        if buckets is not None and ref["bucket"] not in buckets:
+        # A part holds one gkey's listings: data-file filters apply to
+        # refs carrying data, tombstone filters to refs carrying
+        # tombstones; a mixed (pre-partitioning) part loads if either
+        # side wants it — the entry-level filters below still apply.
+        load = (ref["files"] > 0 and want_file(ref)) or (
+            ref["tombstones"] > 0 and want_tomb(ref)
+        )
+        if not load:
             continue
         doc = _read_json(os.path.join(target, ref["path"]))
-        files.extend(doc["files"])
-        tombs.extend(doc["tombstones"])
+        files.extend(e for e in doc["files"] if want_file(e))
+        tombs.extend(t for t in doc["tombstones"] if want_tomb(t))
     return files, tombs
 
 
 def _man_update(target: str, man: dict, touched: dict, seq: int) -> dict:
-    """A new manifest dict with each touched bucket's (files,
-    tombstones) listing replaced WHOLESALE by ``touched[bucket]``;
-    untouched buckets carry over — by part REFERENCE in split mode (no
-    reread, no rewrite), by entry in inline mode.  Buckets whose new
-    listing is empty simply vanish (no empty parts)."""
+    """A new manifest dict with each touched GKEY's — (partition,
+    bucket); see :func:`_gkey` — (files, tombstones) listing replaced
+    WHOLESALE by ``touched[gkey]``; untouched gkeys carry over — by
+    part REFERENCE in split mode (no reread, no rewrite), by entry in
+    inline mode.  Gkeys whose new listing is empty simply vanish (no
+    empty parts)."""
     if "parts" not in man:
-        files = [e for e in man["files"] if e["bucket"] not in touched]
+        files = [e for e in man["files"] if _gkey(e) not in touched]
         tombs = [
-            t for t in man.get("tombstones", []) if t["bucket"] not in touched
+            t for t in man.get("tombstones", []) if _gkey(t) not in touched
         ]
         for fs, ts in touched.values():
             files.extend(fs)
             tombs.extend(ts)
         return dict(man, files=files, tombstones=tombs, seq=seq)
-    parts = [r for r in man["parts"] if r["bucket"] not in touched]
-    for b in sorted(touched):
-        fs, ts = touched[b]
+    parts = [r for r in man["parts"] if _gkey(r) not in touched]
+    for p, b in sorted(touched, key=lambda g: (g[0] or "", g[1])):
+        fs, ts = touched[(p, b)]
         if fs or ts:
-            parts.append(_write_part(target, b, fs, ts))
-    parts.sort(key=lambda r: r["bucket"])
+            parts.append(_write_part(target, b, fs, ts, part=p))
+    parts.sort(key=lambda r: (r.get("part") or "", r["bucket"]))
     return dict(man, parts=parts, seq=seq)
 
 
 def _group_listings(target: str, man: dict, new_files=(), new_tombs=()) -> dict:
-    """Per-bucket (files, tombstones) listings composing the OLD
-    listings — loaded only for the buckets the new entries touch —
-    with the new entries appended: the shared commit shape of
-    append / merge-on-read / delete, none of which rewrites an
-    existing entry."""
-    buckets = {e["bucket"] for e in new_files} | {t["bucket"] for t in new_tombs}
-    old_files, old_tombs = _man_entries(target, man, buckets=buckets)
-    listing = {b: ([], []) for b in buckets}
+    """Per-GKEY (files, tombstones) listings composing the OLD
+    listings — loaded only for the gkeys the new entries touch — with
+    the new entries appended: the shared commit shape of append /
+    merge-on-read / delete, none of which rewrites an existing
+    entry."""
+    gkeys = {_gkey(e) for e in new_files} | {_gkey(t) for t in new_tombs}
+    old_files, old_tombs = _man_entries(target, man, gkeys=gkeys)
+    listing = {g: ([], []) for g in gkeys}
     for e in list(old_files) + list(new_files):
-        listing[e["bucket"]][0].append(e)
+        listing[_gkey(e)][0].append(e)
     for t in list(old_tombs) + list(new_tombs):
-        listing[t["bucket"]][1].append(t)
+        listing[_gkey(t)][1].append(t)
     return listing
 
 
@@ -845,12 +1047,16 @@ def _man_tomb_count(man: dict) -> int:
 
 
 def _cluster_args(man: dict) -> dict:
-    """The table's recorded clustering properties as _write_bucketed
-    kwargs — every rewriting commit honors them, so clustering
-    survives merges/appends/compactions once declared at init."""
+    """The table's recorded clustering + partitioning properties as
+    _write_bucketed kwargs — every rewriting commit honors them, so
+    clustering and the partition spec survive merges/appends/
+    compactions once declared at init.  (Tombstone writes call
+    _write_bucketed WITHOUT these: tombstones are key-only frames and
+    partition-less by design — see the round-19 banner.)"""
     return {
         "cluster_by": man.get("cluster_by"),
         "max_records_per_file": man.get("max_records_per_file"),
+        "part_spec": _part_spec(man),
     }
 
 
@@ -863,6 +1069,8 @@ def table_init(
     max_records_per_file: int | None = None,
     split_manifest: bool | None = None,
     keep_generations: int | None = None,
+    partition_by: str | None = None,
+    partition_transform: str = "identity",
 ) -> dict:
     """(Re)seed ``target`` as a v2 per-file manifest table from ``df``.
 
@@ -892,7 +1100,19 @@ def table_init(
     (live included) stay readable for time travel / rollback before
     :func:`_prune_manifests` reclaims them.  The table's time-travel
     SLA, stated instead of hard-coded; changeable later with
-    :func:`table_set_retention`."""
+    :func:`table_set_retention`.
+
+    ``partition_by`` + ``partition_transform`` (round 19, VERDICT r18
+    next #1) declare the table PARTITION SPEC: data files gain a
+    ``_part=<transform(col)>/`` directory level above the bucket dirs,
+    manifest entries and split parts are keyed (partition, bucket),
+    reads prune partitions BEFORE any file-stats pass
+    (``table_read(partitions=...)`` or automatically from ``where`` /
+    ``where_in`` on the partition column), retention gains
+    :func:`table_drop_partition`, and small-file compaction goes
+    partition-local.  Transforms: ``identity`` | ``day`` | ``month``
+    (day/month need a date/timestamp column).  A table property, fixed
+    at init like the bucket spec."""
     ptr_exists = os.path.exists(os.path.join(target, CURRENT_POINTER))
     if os.path.isdir(target) and os.listdir(target) and not ptr_exists:
         raise ValueError(
@@ -926,6 +1146,17 @@ def table_init(
         )
     if keep_generations < 1:
         raise ValueError("keep_generations must be >= 1 (the live manifest)")
+    if partition_by is not None:
+        if partition_transform not in _TRANSFORMS:
+            raise ValueError(
+                f"unknown partition transform {partition_transform!r}; "
+                f"supported: {_TRANSFORMS}"
+            )
+        if partition_by not in df.columns:
+            raise ValueError(
+                f"partition_by column {partition_by!r} not in the table "
+                f"schema {df.columns}"
+            )
     os.makedirs(target, exist_ok=True)
     entries = _write_bucketed(
         df,
@@ -935,6 +1166,7 @@ def table_init(
         gen=seq,
         cluster_by=cluster_by,
         max_records_per_file=max_records_per_file,
+        part_spec=(partition_by, partition_transform) if partition_by else None,
     )
     manifest = {
         "version": 2,
@@ -946,15 +1178,21 @@ def table_init(
         "cluster_by": cluster_by,
         "max_records_per_file": max_records_per_file,
         "keep_generations": int(keep_generations),
+        # Partition spec (round 19): a table property like the bucket
+        # spec — every rewriting commit routes through it.
+        "partition_by": partition_by,
+        "partition_transform": partition_transform if partition_by else None,
         "schema": df.schema.json(),
     }
     if split_manifest:
-        by_bucket: dict[int, list[dict]] = {}
+        by_gkey: dict[tuple, list[dict]] = {}
         for e in entries:
-            by_bucket.setdefault(e["bucket"], []).append(e)
+            by_gkey.setdefault(_gkey(e), []).append(e)
         manifest["parts"] = [
-            _write_part(target, b, fs, [])
-            for b, fs in sorted(by_bucket.items())
+            _write_part(target, b, fs, [], part=p)
+            for (p, b), fs in sorted(
+                by_gkey.items(), key=lambda kv: (kv[0][0] or "", kv[0][1])
+            )
         ]
     else:
         manifest["files"] = entries
@@ -987,13 +1225,16 @@ def _scan_coalesce(spark, items: list[dict]) -> int:
     """Task count for scanning ``items``' files: enough partitions to
     fill the cluster and to keep ~128 MB per task, but never one task
     per tiny file.  Entries without recorded byte sizes (pre-r18
-    manifests) fall back to a 32-files-per-task estimate — the packing
-    Spark itself would do if the files carried the default 4 MB open
-    cost against the default 128 MB split."""
+    manifests) get NO coalescing (ADVICE r18: a fixed files-per-task
+    estimate silently under-parallelized legacy manifests holding LARGE
+    files — without sizes the "files are tiny" premise is unprovable,
+    so leave Spark's own split planning alone; only the byte-based path
+    may shrink the task count, and it never shrinks below the natural
+    large-table partition count)."""
     par = spark.sparkContext.defaultParallelism
     sizes = [e.get("bytes") for e in items]
     if any(s is None for s in sizes):
-        return max(par, (len(items) + 31) // 32)
+        return len(items)
     return max(par, -(-sum(sizes) // (128 << 20)))
 
 
@@ -1197,12 +1438,78 @@ def _manifest_at(target: str, at: str | None) -> dict:
     return _read_json(path)
 
 
+def _partition_pred(man: dict, preds, where_in, explicit):
+    """A partition-value predicate (str → keep?) composed from an
+    explicit partition list, range predicates on the partition column,
+    and an IN-list on it — or None when nothing can prune partitions
+    (no spec, no predicate on the partition column, or unmappable
+    bounds).  Pruning is sound by construction:
+
+    * a range bound maps into partition-value space only when the
+      encoding provably preserves order (day/month fixed-width
+      formats; identity over string/date) — else that bound prunes
+      nothing;
+    * the NULL partition fails any non-trivial range (SQL comparison
+      with NULL is never true) but is never dropped by an unmappable
+      predicate;
+    * IN-list pruning engages only when EVERY listed value maps
+      exactly (one drifting encoding would lossily drop partitions).
+    """
+    pspec = _part_spec(man)
+    if pspec is None:
+        if explicit is not None:
+            raise ValueError(
+                "table has no partition spec; 'partitions=' needs "
+                "table_init(partition_by=...)"
+            )
+        return None
+    pcol, ptr = pspec
+    conds = []
+    if explicit is not None:
+        want = set()
+        for v in explicit:
+            if v is None:
+                want.add(NULL_PART)
+            elif isinstance(v, str):
+                want.add(v)
+            else:
+                pv = _part_value(ptr, v)
+                want.add(pv if pv is not None else str(v))
+        conds.append(lambda p, w=want: p in w)
+    for c, lo, hi, dtype in preds:
+        if c != pcol or (lo is None and hi is None):
+            continue
+        if ptr == "identity" and dtype not in _IDENTITY_RANGE_OK:
+            continue  # e.g. numeric identity: "10" < "9" — never range-prune
+        plo, phi = _part_value(ptr, lo), _part_value(ptr, hi)
+
+        def band(p, plo=plo, phi=phi):
+            if p == NULL_PART:
+                return False
+            if plo is not None and p < plo:
+                return False
+            if phi is not None and p > phi:
+                return False
+            return True
+
+        conds.append(band)
+    if where_in is not None and where_in[0] == pcol:
+        vals = [v for v in where_in[1] if v is not None]
+        mapped = [_part_value(ptr, v) for v in vals]
+        if all(m is not None for m in mapped):
+            conds.append(lambda p, w=set(mapped): p in w)
+    if not conds:
+        return None
+    return lambda p: all(c(p) for c in conds)
+
+
 def table_read(
     spark,
     target: str,
     at: str | None = None,
     where: tuple | None = None,
     where_in: tuple | None = None,
+    partitions=None,
 ) -> DataFrame:
     """Scan a manifest's file list — the v2 reader.  Explicit leaf
     paths (not the data/ root): a reader never globs, so orphaned
@@ -1235,7 +1542,17 @@ def table_read(
     — each value is a degenerate range, so the same non-lossy overlap
     rules (temporal widening, unknown→keep) apply.  NULL values follow
     SQL ``IN`` semantics (never match), so they prune nothing and
-    return nothing.  Composes with ``where`` as a conjunction."""
+    return nothing.  Composes with ``where`` as a conjunction.
+
+    ``partitions`` (round 19, partitioned tables only) restricts the
+    read to the listed partition VALUES (transformed encoding, e.g.
+    ``"2024-01-05"`` for a day transform; ``None`` selects the NULL
+    partition) — partition-level selection with NO residual row
+    filter, the "read one day" primitive.  Independently, ``where`` /
+    ``where_in`` predicates ON the partition column prune partitions
+    automatically BEFORE any file-stats pass — on a split table the
+    pruned partitions' manifest parts are never even parsed (metered
+    by :data:`MANIFEST_IO`)."""
     from pyspark.sql import functions as F
 
     man = _manifest_at(target, at)
@@ -1247,7 +1564,8 @@ def table_read(
     if where is not None:
         preds = [where] if isinstance(where, tuple) else list(where)
     preds = [(c, lo, hi, _col_typename(man, c)) for (c, lo, hi) in preds]
-    entries, tombs = _man_entries(target, man)
+    ppred = _partition_pred(man, preds, where_in, partitions)
+    entries, tombs = _man_entries(target, man, partitions=ppred)
     for c, lo, hi, dtype in preds:
         entries = [e for e in entries if _stats_overlap(e, c, lo, hi, dtype)]
     if where_in is not None:
@@ -1467,9 +1785,15 @@ def table_merge(spark, target: str, updates: DataFrame, merge_fn) -> dict:
             f"{sorted(set(stray))}; a merge may only rewrite the touched "
             "slice (did merge_fn rekey rows?)"
         )
-    listing: dict[int, tuple[list, list]] = {b: ([], []) for b in touched_set}
+    # The replaced unit is every gkey that EXISTED in a touched bucket
+    # (any partition — a CoW merge rewrites the whole bucket slice, and
+    # a key's partition value may move) plus every gkey the rewrite
+    # produced; pre-existing gkeys with no new files vanish.
+    listing: dict[tuple, tuple[list, list]] = {
+        g: ([], []) for g in {_gkey(e) for e in rewritten} | {_gkey(e) for e in entries}
+    }
     for e in entries:
-        listing[e["bucket"]][0].append(e)
+        listing[_gkey(e)][0].append(e)
     manifest = _man_update(target, man, listing, new_seq)
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
@@ -1566,7 +1890,7 @@ def _prune_manifests(target: str, current: str, cur_man: dict | None = None) -> 
                 if d is None:
                     return  # malformed kept manifest: delete nothing
                 kept_data |= d
-        dead_parts: dict[str, int] = {}  # rel path -> bucket
+        dead_parts: dict[str, tuple] = {}  # rel path -> gkey
         pruned_data: set[str] = set()
         for n in pruned:
             man = _try_read(n)
@@ -1574,7 +1898,7 @@ def _prune_manifests(target: str, current: str, cur_man: dict | None = None) -> 
                 if "parts" in man:
                     for r in man["parts"]:
                         if r["path"] not in kept_parts:
-                            dead_parts[r["path"]] = r["bucket"]
+                            dead_parts[r["path"]] = _gkey(r)
                 else:
                     pruned_data |= data_refs(man) or set()
             try:
@@ -1587,12 +1911,12 @@ def _prune_manifests(target: str, current: str, cur_man: dict | None = None) -> 
             if doc is not None:
                 dead_data |= data_refs(doc) or set()
         # Kept parts can share data files with dead parts only in the
-        # dead parts' own buckets (a bucket's listing lives in exactly
-        # one part per root) — load just those.
-        dead_buckets = set(dead_parts.values())
+        # dead parts' own (partition, bucket) groups (a gkey's listing
+        # lives in exactly one part per root) — load just those.
+        dead_gkeys = set(dead_parts.values())
         loaded: set[str] = set()
         for r in kept_split_refs:
-            if r["bucket"] in dead_buckets and r["path"] not in loaded:
+            if _gkey(r) in dead_gkeys and r["path"] not in loaded:
                 loaded.add(r["path"])
                 doc = _try_read(r["path"])
                 d = data_refs(doc) if doc is not None else None
@@ -1849,19 +2173,23 @@ def table_compact(
     """Bin-pack small files and apply merge-on-read tombstones — the
     OPTIMIZE maintenance op (VERDICT r16 missing #1).
 
-    A bucket is a candidate when it holds >= ``min_files`` data files
-    (append/MoR accumulation) or ANY tombstone (so compaction is also
-    the MoR "apply" step).  Each candidate bucket's MASKED content is
-    read once and rewritten as one file; untouched buckets' files are
-    carried by reference, so compaction cost scales with the
-    small-file footprint, not the table — same strict-subset
-    discipline as :func:`table_merge`, same optimistic-concurrency
-    commit (a concurrent merge/append during the rewrite raises
+    A (partition, bucket) group is a candidate when it holds >=
+    ``min_files`` data files (append/MoR accumulation); a BUCKET is a
+    candidate when it holds ANY tombstone (so compaction is also the
+    MoR "apply" step — bucket-wide, because key-based masking crosses
+    partitions).  Each candidate's MASKED content is read once and
+    rewritten packed; untouched groups' files are carried by
+    reference, so compaction cost scales with the small-file
+    footprint, not the table — same strict-subset discipline as
+    :func:`table_merge`, same optimistic-concurrency commit (a
+    concurrent merge/append during the rewrite raises
     :class:`ConcurrentCommitError`; catch, re-read, retry).
 
-    ``max_buckets`` bounds one run's rewrite for incremental
-    maintenance windows (remaining candidates keep their tombstones —
-    the manifest stays correct because masking is per-bucket).
+    ``max_buckets`` bounds one run's rewrite UNITS for incremental
+    maintenance windows (a unit = one tombstoned bucket, or one
+    (partition, bucket) packing group; remaining candidates keep
+    their tombstones — the manifest stays correct because masking is
+    per-bucket).
     No candidates -> no commit at all (a no-op never burns a
     generation or churns readers).  Returns
     {"compacted_buckets", "files_before", "files_after",
@@ -1871,32 +2199,38 @@ def table_compact(
     key, n_buckets = man["bucket_key"], int(man["n_buckets"])
     mrpf = man.get("max_records_per_file")
 
-    # Per-bucket (n_files, rows-or-None, n_tombstones) — from part
-    # refs WITHOUT loading any part in split mode (candidate selection
-    # is O(buckets) driver work), from the entry lists inline.
-    # Buckets holding only tombstones are included (review r17): a
-    # tombstone can live in a bucket with ZERO data files
-    # (table_delete of an absent key) — skipping it would leave
-    # readers paying its anti-join and table_merge refusing the
-    # bucket forever.
-    meta: dict[int, list] = {}
+    # Per-GKEY (n_files, rows-or-None, n_tombstones) — from part refs
+    # WITHOUT loading any part in split mode (candidate selection is
+    # O(parts) driver work), from the entry lists inline.  Gkeys
+    # holding only tombstones are included (review r17): a tombstone
+    # can live in a bucket with ZERO data files (table_delete of an
+    # absent key) — skipping it would leave readers paying its
+    # anti-join and table_merge refusing the bucket forever.
+    meta: dict[tuple, list] = {}
     if "parts" in man:
         for ref in man["parts"]:
-            meta[ref["bucket"]] = [ref["files"], ref["rows"], ref["tombstones"]]
+            m = meta.setdefault(_gkey(ref), [0, 0, 0])
+            m[0] += ref["files"]
+            m[1] = (
+                None
+                if m[1] is None or ref["rows"] is None
+                else m[1] + ref["rows"]
+            )
+            m[2] += ref["tombstones"]
     else:
         for e in man["files"]:
-            m = meta.setdefault(e["bucket"], [0, 0, 0])
+            m = meta.setdefault(_gkey(e), [0, 0, 0])
             m[0] += 1
             m[1] = None if m[1] is None or e.get("rows") is None else m[1] + e["rows"]
         for t in man.get("tombstones", []):
-            meta.setdefault(t["bucket"], [0, 0, 0])[2] += 1
+            meta.setdefault(_gkey(t), [0, 0, 0])[2] += 1
 
     def needs_packing(nf: int, rows) -> bool:
         if nf < min_files:
             return False
         if not mrpf:
-            return True  # unclustered table: >1 file per bucket is slack
-        # CLUSTERED table: multiple files per bucket is the NORMAL
+            return True  # unclustered table: >1 file per gkey is slack
+        # CLUSTERED table: multiple files per gkey is the NORMAL
         # state (the splitter caps rows per file), so "small files"
         # means MORE files than the rows need at capacity — otherwise
         # every compact run would rewrite every clustered bucket
@@ -1908,33 +2242,54 @@ def table_compact(
 
         return nf > max(1, math.ceil(rows / int(mrpf)))
 
-    candidates = sorted(
-        b for b, (nf, rows, nt) in meta.items() if needs_packing(nf, rows) or nt
-    )
+    # Rewrite UNITS (round 19): a bucket with live tombstones compacts
+    # BUCKET-WIDE (masking is key-based and a masked row may sit in any
+    # partition of its bucket — applying a tombstone to one partition
+    # while leaving it live for another would resurrect rows when it
+    # is later cleared); pure small-file packing is PARTITION-LOCAL
+    # (one (partition, bucket) group per unit), so steady-state
+    # maintenance on a partitioned table never rewrites beyond the
+    # partitions that actually accumulated files.
+    tomb_buckets = sorted({g[1] for g, m in meta.items() if m[2]})
+    units: list[set] = [
+        {g for g in meta if g[1] == b} for b in tomb_buckets
+    ]
+    for g in sorted(meta, key=lambda g: (g[0] or "", g[1])):
+        nf, rows, _nt = meta[g]
+        if g[1] not in set(tomb_buckets) and needs_packing(nf, rows):
+            units.append({g})
     if max_buckets is not None:
-        candidates = candidates[:max_buckets]
+        units = units[:max_buckets]
     files_before = _man_file_count(man)
-    if not candidates:
+    if not units:
         return {
             "compacted_buckets": [],
             "files_before": files_before,
             "files_after": files_before,
             "tombstones_cleared": 0,
         }
-    cand = set(candidates)
-    rewritten, cand_tombs = _man_entries(target, man, buckets=cand)
+    cand_gkeys = set().union(*units)
+    rewritten, cand_tombs = _man_entries(target, man, gkeys=cand_gkeys)
     new_seq = int(man.get("seq", -1)) + 1
     masked = _masked_scan(spark, target, man, rewritten, cand_tombs)
     entries = _write_bucketed(
         masked, target, key, n_buckets, gen=new_seq, **_cluster_args(man)
     )
-    listing: dict[int, tuple[list, list]] = {b: ([], []) for b in cand}
+    listing: dict[tuple, tuple[list, list]] = {g: ([], []) for g in cand_gkeys}
     for e in entries:
-        listing[e["bucket"]][0].append(e)
+        if _gkey(e) not in listing:
+            # The rewrite is partition-stable (partition values derive
+            # deterministically from row columns) — a stray gkey means
+            # a bug that would shadow carried files; refuse pre-commit.
+            raise RuntimeError(
+                f"table_compact: rewrite produced unexpected group "
+                f"{_gkey(e)}; candidates were {sorted(cand_gkeys)}"
+            )
+        listing[_gkey(e)][0].append(e)
     manifest = _man_update(target, man, listing, new_seq)
     _commit_manifest(target, manifest, expect_current=base_name)
     return {
-        "compacted_buckets": candidates,
+        "compacted_buckets": sorted({g[1] for g in cand_gkeys}),
         "files_before": files_before,
         "files_after": _man_file_count(manifest),
         "tombstones_cleared": len(cand_tombs),
@@ -2048,16 +2403,28 @@ def table_stats(target: str) -> dict:
     to decide WHEN to run :func:`table_compact` / :func:`table_vacuum`."""
     man = _load_manifest(target)
     per_bucket: dict[int, dict] = {}
+    partitions: set = set()
     if "parts" in man:
         for r in man["parts"]:
-            per_bucket[r["bucket"]] = {
-                "files": r["files"],
-                "rows": r["rows"],
-                "bytes": r["bytes"],
-                "tombstones": r["tombstones"],
-            }
+            if r.get("part") is not None:
+                partitions.add(r["part"])
+            b = per_bucket.setdefault(
+                r["bucket"], {"files": 0, "rows": 0, "bytes": 0, "tombstones": 0}
+            )
+            # Accumulate (round 19): a partitioned bucket has one part
+            # ref PER partition, plus possibly a tombstone ref.
+            b["files"] += r["files"]
+            b["rows"] = (
+                None
+                if b["rows"] is None or r["rows"] is None
+                else b["rows"] + r["rows"]
+            )
+            b["bytes"] += r["bytes"]
+            b["tombstones"] += r["tombstones"]
     else:
         for e in man["files"]:
+            if e.get("part") is not None:
+                partitions.add(e["part"])
             b = per_bucket.setdefault(
                 e["bucket"], {"files": 0, "rows": 0, "bytes": 0, "tombstones": 0}
             )
@@ -2089,6 +2456,8 @@ def table_stats(target: str) -> dict:
         "split_manifest": "parts" in man,
         "cluster_by": man.get("cluster_by"),
         "keep_generations": int(man.get("keep_generations") or KEEP_GENERATIONS),
+        "partition_by": man.get("partition_by"),
+        "partitions": len(partitions) if man.get("partition_by") else None,
     }
 
 
@@ -2108,6 +2477,10 @@ def with_commit_retry(fn, attempts: int = 5, backoff_s: float = 0.1):
     """
     import time
 
+    if attempts < 1:
+        # ADVICE r18: attempts=0 used to fall through to ``raise None``
+        # (an opaque TypeError); name the misuse instead.
+        raise ValueError("with_commit_retry: attempts must be >= 1")
     last: ConcurrentCommitError | None = None
     for attempt in range(attempts):
         try:
@@ -2143,6 +2516,52 @@ def table_set_retention(target: str, keep_generations: int) -> dict:
     )
     _commit_manifest(target, manifest, expect_current=base_name)
     return {"keep_generations": int(keep_generations)}
+
+
+def table_drop_partition(target: str, value) -> dict:
+    """Drop one PARTITION from a partitioned v2 table as a
+    METADATA-ONLY commit (round 19): the new manifest simply omits the
+    partition's entries/parts — no data file is read, written, or
+    deleted at commit time (the files stay referenced by retained
+    older generations for time travel and are reclaimed by the pruner
+    / :func:`table_vacuum` as those age out).  This is the
+    partition-granular retention primitive (drop a day) and the
+    idempotent-backfill building block: drop + re-append a partition
+    is two O(partition) commits, never a table rewrite.
+
+    ``value`` is the partition value in transformed encoding (e.g.
+    ``"2024-01-05"`` for a day transform; ``None`` drops the NULL
+    partition).  Dropping an absent partition is a no-op (no commit —
+    idempotence without burning a retention generation).  Live MoR
+    tombstones are untouched: they are partition-less and may still
+    mask rows in other partitions.  Optimistic concurrency as
+    everywhere."""
+    base_name = _live_manifest_name(target)
+    man = _load_manifest(target)
+    if _part_spec(man) is None:
+        raise ValueError(
+            f"{target} has no partition spec; table_drop_partition needs "
+            "table_init(partition_by=...)"
+        )
+    part = NULL_PART if value is None else str(value)
+    new_seq = int(man.get("seq", -1)) + 1
+    if "parts" in man:
+        keep = [r for r in man["parts"] if r.get("part") != part]
+        dropped = len(man["parts"]) - len(keep)
+        if not dropped:
+            return {"dropped_files": 0, "partition": part}
+        dropped_files = sum(
+            r["files"] for r in man["parts"] if r.get("part") == part
+        )
+        manifest = dict(man, parts=keep, seq=new_seq)
+    else:
+        keep_f = [e for e in man["files"] if e.get("part") != part]
+        dropped_files = len(man["files"]) - len(keep_f)
+        if not dropped_files:
+            return {"dropped_files": 0, "partition": part}
+        manifest = dict(man, files=keep_f, seq=new_seq)
+    _commit_manifest(target, manifest, expect_current=base_name)
+    return {"dropped_files": dropped_files, "partition": part}
 
 
 def table_vacuum(target: str, older_than_s: float = ORPHAN_GRACE_S) -> dict:

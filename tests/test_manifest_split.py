@@ -434,10 +434,10 @@ def test_zorder_refuses_bad_columns(spark, tmp_path):
             df, str(tmp_path / "a"), "o_orderkey", n_buckets=1,
             cluster_by=["o_orderkey", "name"],
         )
-    with pytest.raises(ValueError, match="exactly 2"):
+    with pytest.raises(ValueError, match="2 or 3"):
         cm.table_init(
             df, str(tmp_path / "b"), "o_orderkey", n_buckets=1,
-            cluster_by=["o_orderkey", "o_orderkey", "o_orderkey"],
+            cluster_by=["o_orderkey"] * 4,
         )
 
 
@@ -697,3 +697,24 @@ def test_streaming_foreach_batch_appends_into_v2_table(spark, tmp_path):
     assert _rows(spark, target) == sorted(tuple(r) for r in frame.collect())
     man = cm._load_manifest(target)
     assert int(man["seq"]) == 3, "one manifest commit per micro-batch"
+
+
+def test_with_commit_retry_rejects_zero_attempts():
+    """ADVICE r18: attempts=0 used to fall through to ``raise None``
+    (an opaque 'exceptions must derive from BaseException' TypeError);
+    the misuse is now named at entry."""
+    with pytest.raises(ValueError, match="attempts must be >= 1"):
+        cm.with_commit_retry(lambda: None, attempts=0)
+
+
+def test_scan_coalesce_sizeless_entries_keep_full_parallelism(spark):
+    """ADVICE r18: entries without recorded bytes (pre-r18 manifests)
+    must NOT be coalesced — the old 32-files-per-task estimate silently
+    under-parallelized legacy manifests holding LARGE files.  Without
+    sizes the 'files are tiny' premise is unprovable, so the scan keeps
+    one task per file (Spark's own split planning then governs)."""
+    sizeless = [{"path": f"f{i}"} for i in range(100)]
+    assert cm._scan_coalesce(spark, sizeless) == 100
+    # The byte-based path still packs tiny files down to the floor.
+    tiny = [{"path": f"f{i}", "bytes": 1024} for i in range(100)]
+    assert cm._scan_coalesce(spark, tiny) == spark.sparkContext.defaultParallelism

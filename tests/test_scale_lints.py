@@ -66,8 +66,9 @@ WHITELIST = {
     # table_merge's touched-bucket probe and _buckets_for_keys' lookup
     # bucket derivation: both distinct bucket-id collects, ≤ n_buckets
     # ints by construction (VERDICT r15 #2); plus _zorder_expr's 1-row
-    # min/max bounds aggregate (4 scalars per clustering batch — the
-    # z-value normalization, round 18)
+    # quantile-boundary aggregate (percentile_approx: 63 boundaries per
+    # clustering column — ≤189 doubles at 3 columns — the z-rank cell
+    # edges, round 18; ADVICE r18 doc-drift fix)
     "sources/commit.py": 3,
 }
 

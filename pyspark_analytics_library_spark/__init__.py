@@ -63,6 +63,8 @@ __all__ = [
     "table_vacuum",
     "table_set_retention",
     "table_drop_partition",
+    "table_rename_column",
+    "table_drop_column",
     "with_commit_retry",
     "prefix_range",
     "resolve_table",
@@ -147,6 +149,8 @@ def __getattr__(name: str):
                 "table_vacuum",
                 "table_set_retention",
                 "table_drop_partition",
+                "table_rename_column",
+                "table_drop_column",
                 "with_commit_retry",
                 "prefix_range",
                 "resolve_table",

@@ -133,8 +133,17 @@ def _lake_clone(seed: str) -> str:
     return dst
 
 
-def _lake_row(spark, sf_dir, ops) -> "object":
+#: Best OP-ONLY seconds per lake row (VERDICT r18 "what's wrong" #3):
+#: the row totals time clone+op+read for bar continuity with r18, but
+#: the clone is a constant ~30-50% dilution of any regression signal —
+#: so the commit-op region is also timed separately and reported as
+#: lake_op_sec in the final JSON line.
+_LAKE_OP_BEST: dict[str, float] = {}
+
+
+def _lake_row(spark, sf_dir, ops, row_name=None) -> "object":
     import shutil
+    import time as _time
 
     from pyspark_analytics_library_spark.sources import commit as cm
 
@@ -142,6 +151,7 @@ def _lake_row(spark, sf_dir, ops) -> "object":
     try:
         batch = _lake_batch(spark, sf_dir)
         stats = {}
+        t_op = _time.perf_counter()
         for op in ops:
             if op == "append":
                 stats = cm.table_append(spark, target, batch)
@@ -149,6 +159,10 @@ def _lake_row(spark, sf_dir, ops) -> "object":
                 stats = cm.table_merge_mor(spark, target, batch)
             elif op == "compact":
                 stats = cm.table_compact(spark, target)
+        if row_name:
+            dt = _time.perf_counter() - t_op
+            prev = _LAKE_OP_BEST.get(row_name, float("inf"))
+            _LAKE_OP_BEST[row_name] = min(prev, dt)
         n = cm.table_read(spark, target).count()
         first = next(iter(stats.values())) if stats else 0
         val = first if isinstance(first, int) else len(first)
@@ -161,18 +175,18 @@ def _lake_row(spark, sf_dir, ops) -> "object":
 
 def bench_lake_append(spark, sf_dir):
     """Fast append + masked full read on a fresh clone of the seed."""
-    return _lake_row(spark, sf_dir, ["append"])
+    return _lake_row(spark, sf_dir, ["append"], row_name="lake_append")
 
 
 def bench_lake_mor(spark, sf_dir):
     """Merge-on-read upsert (delta + tombstones) + masked full read."""
-    return _lake_row(spark, sf_dir, ["mor"])
+    return _lake_row(spark, sf_dir, ["mor"], row_name="lake_mor")
 
 
 def bench_lake_compact(spark, sf_dir):
     """MoR upsert, then compaction (bin-pack + tombstone apply across
     the ~55 touched buckets) + full read — the maintenance heavy row."""
-    return _lake_row(spark, sf_dir, ["mor", "compact"])
+    return _lake_row(spark, sf_dir, ["mor", "compact"], row_name="lake_compact")
 
 
 CUSTOM = {
@@ -484,6 +498,9 @@ def main() -> None:
         "any_over_bar": any(over_bar.values()) if at_ref_sf else None,
         "over_bar_true": sorted(n for n, v in over_bar.items() if v),
         "quality": quality,
+        # Op-only seconds for the lake rows (clone+read excluded) —
+        # the undiluted regression signal beside the barred totals.
+        "lake_op_sec": {k: round(v, 4) for k, v in sorted(_LAKE_OP_BEST.items())},
         "sf": sf,
     }
     line = json.dumps(final, separators=(",", ":"))

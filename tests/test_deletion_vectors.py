@@ -254,3 +254,20 @@ def test_dv_null_key_masking(spark, tmp_path):
         key=lambda t: (t[0] is None, t[0] or 0),
     )
     assert rows == [(2, 2.0), (3, 3.0), (None, -1.0)]
+
+
+def test_dv_join_path_over_inline_threshold(spark, dvtable, monkeypatch):
+    """Past _DV_INLINE_MAX total positions the filter switches to the
+    broadcast (path-tail, row_index) anti-join — same rows, still no
+    key semantics.  Forced by shrinking the threshold."""
+    ups = spark.range(10).select(
+        (F.col("id") * 97).alias("k"), F.lit(-1.0).alias("v")
+    )
+    cm.table_merge_mor(spark, dvtable, ups, position_deletes=True)
+    exp = _expected(overrides=[(97 * i, -1.0) for i in range(10)])
+    assert _got(spark, dvtable) == exp  # inline path first
+    monkeypatch.setattr(cm, "_DV_INLINE_MAX", 2)
+    got_df = cm.table_read(spark, dvtable)
+    plan = _plan(got_df)
+    assert "Join" in plan and "BroadcastHashJoin" in plan
+    assert {r.k: r.v for r in got_df.collect()} == exp

@@ -82,6 +82,38 @@ def bench_triangles_sparse(spark, sf_dir):
         spark.conf.unset(cap_key) if old is None else spark.conf.set(cap_key, old)
 
 
+def bench_cc_distributed(spark, sf_dir):
+    """Distributed CC-loop regression row (round 19): the declared
+    dedup_connected_components query no longer iterates (interval-
+    segmentation rewrite — OPTIMIZATION_r19.md #1) and small edge sets
+    dispatch to the driver union-find, so the group-min loop — the
+    100-TB path for ARBITRARY pair graphs — would otherwise lose bench
+    coverage entirely.  Zeroing the union-find cap pins the loop
+    dispatch on the same candidate graph the old dedup_components row
+    iterated over (~31.5k edges at sf0.1), exactly the
+    triangles_sparse precedent (VERDICT r13 #3)."""
+    from pyspark_analytics_library_spark.operators.dedup import (
+        candidate_edges,
+        connected_components,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    verts = d.select(F.col("doc_id").alias("v"))
+    cap_key = "spark.analytics.cc.driverUnionFindMaxEdges"
+    old = spark.conf.get(cap_key, None)
+    spark.conf.set(cap_key, "0")
+    try:
+        lab = connected_components(candidate_edges(d), verts)
+        return lab.groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("label").alias("n_components"),
+        )
+    finally:
+        spark.conf.unset(cap_key) if old is None else spark.conf.set(cap_key, old)
+
+
 #: bench rows that are not registry queries: constructed inputs that
 #: force a code path the declared surface never reaches at bench SF.
 # --- Round-18 rows: lakehouse maintenance ops (VERDICT r17 next #7).
@@ -190,6 +222,7 @@ def bench_lake_compact(spark, sf_dir):
 
 
 CUSTOM = {
+    "cc_distributed": bench_cc_distributed,
     "triangles_sparse": bench_triangles_sparse,
     "lake_append": bench_lake_append,
     "lake_mor": bench_lake_mor,
@@ -370,6 +403,7 @@ EXTENDED = {
     "merge_upsert",
     "merge_scd2",
     "triangles_sparse",
+    "cc_distributed",
     "lake_append",
     "lake_mor",
     "lake_compact",
@@ -393,8 +427,11 @@ def main() -> None:
     # agg_describe belongs here too: its embedded self-check (summary
     # cells parsed back vs direct aggregates) runs eagerly inside
     # fn(), and the bench row exists to watch exactly that cost.
+    # dedup_components left this set in round 19: the interval-
+    # segmentation rewrite made the query a pure lazy plan (no eager
+    # loop), so it is timed collect-only like every other plan row; the
+    # loop path is benched by the cc_distributed CUSTOM row instead.
     iterative = {
-        "dedup_components",
         "graph_triangles",
         "describe_summary",
         # fn() runs the CC loop (per-round checkpoints) and the Derby-

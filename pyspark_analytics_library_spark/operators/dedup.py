@@ -533,9 +533,45 @@ def connected_components(
     — this is exactly GraphFrames' periodic-checkpoint discipline.
     The convergence check is one driver-side scalar per round (the
     same pattern as any Pregel-style loop).
+
+    Round-19 optimization (guide §1.2 "the distributed algorithm", §5
+    guarded-driver discipline), measured shapes in OPTIMIZATION_r19.md:
+
+    - **Driver union-find dispatch.**  When the edge set fits
+      ``spark.analytics.cc.driverUnionFindMaxEdges`` (default 500 000 —
+      ≲ tens of MB of id pairs on the driver, sub-second union-find),
+      the pair list is collected once (``limit(cap+1)`` — one early-
+      exiting pass decides the dispatch AND delivers the data) and the
+      closure is computed driver-side, exactly like the dense-matmul
+      branch of ``graph.triangle_census`` and ``similarity.build_index``
+      collect under their caps.  This removes the per-round job latency
+      entirely for small candidate graphs (the common LSH output: a few
+      hundred to a few hundred thousand pairs even on large corpora).
+      Set the cap to ``0`` to force the distributed loop.  Past the cap
+      the partial ``limit`` pass is the only extra cost before the loop
+      runs unchanged.
+    - **Singleton bypass.**  The distributed loop now iterates over the
+      EDGE-INCIDENT vertices only — every other vertex's component is
+      itself by definition, so carrying them through log(diameter)
+      rounds of joins shuffled |V| rows per round for zero information
+      (guide §2.3 "shuffle fewer bytes").  Singletons rejoin via one
+      left join + coalesce at the end.  On a dedup workload where 1-10 %
+      of documents have any candidate pair, the per-round shuffle drops
+      10-100×.
     """
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = edges.sparkSession
+    e2 = edges.select("src", "dst")
+    uf_cap = int(
+        spark.conf.get("spark.analytics.cc.driverUnionFindMaxEdges", "500000")
+    )
+    if uf_cap > 0:
+        head = e2.limit(uf_cap + 1).collect()
+        if len(head) <= uf_cap:
+            return _cc_driver_union_find(
+                spark, head, vertices, e2.schema["src"].dataType
+            )
+    sym = e2.union(
+        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # Scoped shuffle-partition trim (measured 13.3 s -> 3.5 s at sf0.01
     # on a bare session): every round pays per-partition task + state
@@ -544,7 +580,6 @@ def connected_components(
     # default is trimmed — a deliberately sized session is respected —
     # and the conf is restored on exit (safe: every round runs eagerly,
     # so nothing inside the loop is re-planned after restore).
-    spark = edges.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
     # Gate to local masters (same discipline as the loader's trim in
     # sources/io.py): on a cluster whose admin left the default alone,
@@ -556,10 +591,79 @@ def connected_components(
     if trim:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return _cc_loop(sym, vertices, max_iters)
+        lab = _cc_loop(sym, max_iters)
     finally:
         if trim:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _attach_singletons(vertices, lab, broadcast_labels=False)
+
+
+def _attach_singletons(
+    vertices: DataFrame, lab: DataFrame, broadcast_labels: bool
+) -> DataFrame:
+    """Label every vertex: edge-incident vertices from ``lab`` (v, label),
+    everything else — the singletons the loop/union-find never saw — as
+    its own component.  ``broadcast_labels`` is set on the union-find
+    path, where ``lab`` is bounded by the driver cap by construction;
+    the loop path leaves the strategy to the planner (``lab`` is backed
+    by the final-round parquet with exact size stats)."""
+    lab2 = lab.select(F.col("v").alias("_cc_lv"), F.col("label"))
+    if broadcast_labels:
+        lab2 = F.broadcast(lab2)
+    return vertices.join(
+        lab2, vertices["v"] == F.col("_cc_lv"), "left"
+    ).select(
+        vertices["v"].alias("v"),
+        F.coalesce(F.col("label"), vertices["v"]).alias("label"),
+    )
+
+
+def _cc_driver_union_find(
+    spark: SparkSession, edge_rows, vertices: DataFrame, v_type
+) -> DataFrame:
+    """Min-label components of a driver-resident edge list via weighted-
+    by-id union-find (smaller id becomes the root, so every final root
+    IS its component's min id — the same labeling the distributed loop
+    converges to).  Edges with a NULL endpoint are no-ops, matching the
+    loop's join semantics (a NULL never equi-joins a label row).
+
+    Only the NON-TRIVIAL mapping rows (label ≠ vertex) are shipped back
+    — bounded by the edge cap — and singletons fall out of the same
+    left-join + coalesce the loop path uses."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    mapping = [
+        (v, r)
+        for v in list(parent)
+        if (r := find(v)) != v
+    ]
+    mdf = spark.createDataFrame(
+        mapping,
+        T.StructType(
+            [T.StructField("v", v_type), T.StructField("label", v_type)]
+        ),
+    )
+    return _attach_singletons(vertices, mdf, broadcast_labels=True)
 
 
 class ConvergenceError(RuntimeError):
@@ -735,7 +839,7 @@ def reclaim_iteration_scratch(
     return deleted
 
 
-def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
+def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     scratch_root = _iteration_scratch_root(sym.sparkSession)
     # Materialize the symmetrized edge list ONCE: the loop references it
     # every round, and without a cut each round would re-execute the
@@ -745,8 +849,13 @@ def _cc_loop(sym: DataFrame, vertices: DataFrame, max_iters: int) -> DataFrame:
     sym_path = os.path.join(scratch_root, "sym")
     sym.coalesce(8).write.mode("overwrite").parquet(sym_path)
     sym = sym.sparkSession.read.parquet(sym_path)
+    # Labels start from the EDGE-INCIDENT vertex set only (derived from
+    # the materialized edges — no extra pass over the caller's plan);
+    # singletons rejoin in connected_components via _attach_singletons.
+    # sym carries both directions, so src alone covers every endpoint.
+    verts_e = sym.select(F.col("src").alias("v")).distinct()
     lab = _cc_checkpoint(
-        vertices.select(F.col("v"), F.col("v").alias("label")), scratch_root, 0
+        verts_e.select(F.col("v"), F.col("v").alias("label")), scratch_root, 0
     )
 
     def step(lab: DataFrame) -> DataFrame:
@@ -901,12 +1010,61 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash/LSH emit PAIRS; transitivity must merge (a,b),(b,c) into
     one keep-group {a,b,c} even though (a,c) never scored.  The oracle
     states the same closure as a recursive CTE (label < dst pruning —
-    safe because a component's min label precedes every member)."""
+    safe because a component's min label precedes every member).
+
+    Round-19 optimization (guide §8 — use what the optimizer cannot
+    know): THIS candidate predicate is a 1-D proximity rule, so its
+    graph is an interval graph over the distinct ``n_chars`` values
+    within each lang.  Two docs are transitively connected iff every
+    gap between consecutive distinct n_chars values on the path is
+    ≤ 2 — so the closure is gap-based segmentation of the per-lang
+    sorted distinct values, and NO edge set needs to exist at all.
+    That matters at 100 TB far beyond the bench win: the edge-based
+    formulation is QUADRATIC in docs-per-(lang, n_chars) (10⁶ docs of
+    one length → 5·10¹¹ edges before the loop even starts), while this
+    shape is one small aggregate + a window over (langs × distinct
+    lengths) rows + one broadcast join, at any corpus size.  Result
+    proven hash-identical to the recursive-CTE oracle at sf0.001/0.01/
+    0.1 (OPTIMIZATION_r19.md).  The general-purpose closure for
+    ARBITRARY pair sets remains :func:`connected_components` (used by
+    the fuzzy pipelines; benched by the ``cc_distributed`` row).
+
+    Docs with a NULL lang or NULL n_chars never satisfy the edge
+    predicate on either engine (NULL equi-join / NULL arithmetic), so
+    they are singletons: the mapping is built on non-null keys only and
+    the left join's coalesce labels them with their own id."""
     t = load_tables(spark, sf_dir)
     d = t["documents"].select("doc_id", "lang", "n_chars")
-    edges = candidate_edges(d)
-    verts = d.select(F.col("doc_id").alias("v"))
-    lab = connected_components(edges, verts)
-    return lab.select(
-        F.col("v").alias("doc_id"), F.col("label").alias("component")
-    ).orderBy("doc_id")
+    clean = d.filter(F.col("lang").isNotNull() & F.col("n_chars").isNotNull())
+    # One row per distinct (lang, n_chars): the min doc_id at that value.
+    per_val = clean.groupBy("lang", "n_chars").agg(
+        F.min("doc_id").alias("val_min")
+    )
+    # Gap > 2 between consecutive distinct values starts a new segment;
+    # the running gap count IS the segment id.  The window is over the
+    # (langs × distinct lengths) aggregate — tiny at any corpus scale.
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    seg = per_val.withColumn(
+        "seg",
+        F.sum(
+            F.when(
+                F.col("n_chars") - F.lag("n_chars").over(w) > 2, 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    # Component label = min doc_id over the segment (min of per-value
+    # minima), attached back to every (lang, n_chars) key.
+    mapping = seg.withColumn(
+        "component",
+        F.min("val_min").over(Window.partitionBy("lang", "seg")),
+    ).select("lang", "n_chars", "component")
+    # The mapping's cardinality is structurally bounded (languages ×
+    # distinct document lengths), so broadcast is safe at any scale.
+    return (
+        d.join(F.broadcast(mapping), ["lang", "n_chars"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )

@@ -544,10 +544,13 @@ def test_centroid_matches_numpy(spark):
 
 def test_cc_scratch_dir_conf_honored(spark, tmp_path):
     """spark.analytics.scratchDir must receive the per-round label files
-    (VERDICT r4 task #2) and the result must be unaffected."""
+    (VERDICT r4 task #2) and the result must be unaffected.  The driver
+    union-find cap is zeroed so the small graph exercises the LOOP path
+    (round 19: small edge sets dispatch driver-side by default)."""
     from pyspark_analytics_library_spark.operators.dedup import connected_components
 
     spark.conf.set("spark.analytics.scratchDir", str(tmp_path))
+    spark.conf.set("spark.analytics.cc.driverUnionFindMaxEdges", "0")
     try:
         edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "src long, dst long")
         vertices = spark.createDataFrame(
@@ -564,6 +567,62 @@ def test_cc_scratch_dir_conf_honored(spark, tmp_path):
         assert "sym" not in names
     finally:
         spark.conf.unset("spark.analytics.scratchDir")
+        spark.conf.unset("spark.analytics.cc.driverUnionFindMaxEdges")
+
+
+def test_cc_driver_union_find_matches_loop(spark):
+    """Round-19 dispatch pin: the driver union-find path (edge count ≤
+    spark.analytics.cc.driverUnionFindMaxEdges) must label exactly like
+    the distributed group-min loop — including singleton vertices (own
+    id) and NULL-endpoint edges (no-ops on both paths)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.dedup import (
+        connected_components,
+    )
+
+    random.seed(19)
+    pairs = [(random.randint(0, 120), random.randint(0, 120)) for _ in range(150)]
+    pairs += [(None, 5), (7, None)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    verts = spark.range(0, 200).select(F.col("id").alias("v"))
+
+    uf = {(r.v, r.label) for r in connected_components(edges, verts).collect()}
+    spark.conf.set("spark.analytics.cc.driverUnionFindMaxEdges", "0")
+    try:
+        loop = {(r.v, r.label) for r in connected_components(edges, verts).collect()}
+    finally:
+        spark.conf.unset("spark.analytics.cc.driverUnionFindMaxEdges")
+    assert uf == loop
+    # vertices 121..199 never appear in an edge: own-id singletons.
+    assert all((v, v) in uf for v in range(121, 200))
+
+
+def test_cc_interval_rewrite_matches_edge_closure(spark):
+    """Round-19 rewrite pin: the declared dedup_connected_components
+    query (gap-based segmentation of per-lang distinct n_chars — no
+    edge set) must equal the generic closure of candidate_edges."""
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.dedup import (
+        candidate_edges,
+        connected_components,
+    )
+    from pyspark_analytics_library_spark.sources.io import load_tables
+
+    t = load_tables(spark, TEST_SF_DIR)
+    d = t["documents"].select("doc_id", "lang", "n_chars")
+    generic = connected_components(
+        candidate_edges(d), d.select(F.col("doc_id").alias("v"))
+    )
+    want = {(r.v, r.label) for r in generic.collect()}
+    got = {
+        (r.doc_id, r.component)
+        for r in REGISTRY["dedup_connected_components"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert got == want
 
 
 def test_scratch_root_requires_durable_dir_on_cluster():
@@ -1063,12 +1122,25 @@ def test_reclaim_iteration_scratch_conf_root_keeps_latest(spark, tmp_path):
         reclaim_iteration_scratch,
     )
 
+    from pyspark_analytics_library_spark.operators.dedup import (
+        connected_components,
+    )
+
     scratch_base = str(tmp_path / "scratch")
     spark.conf.set("spark.analytics.scratchDir", scratch_base)
+    # Force the distributed loop: the declared query no longer iterates
+    # (round-19 interval-segmentation rewrite) and small edge sets
+    # dispatch to the driver union-find, neither of which touches
+    # scratch — the reclaim mechanics under test are loop-path-only.
+    spark.conf.set("spark.analytics.cc.driverUnionFindMaxEdges", "0")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(v,) for v in (1, 2, 3, 10, 11, 20)], "v long")
     try:
-        first = REGISTRY["dedup_connected_components"].fn(spark, TEST_SF_DIR)
+        first = connected_components(edges, verts)
         n_first = first.count()
-        second = REGISTRY["dedup_connected_components"].fn(spark, TEST_SF_DIR)
+        second = connected_components(edges, verts)
 
         app_dir = os.path.join(
             scratch_base,
@@ -1090,6 +1162,7 @@ def test_reclaim_iteration_scratch_conf_root_keeps_latest(spark, tmp_path):
         assert not os.path.exists(app_dir)
     finally:
         spark.conf.unset("spark.analytics.scratchDir")
+        spark.conf.unset("spark.analytics.cc.driverUnionFindMaxEdges")
 
 
 def test_reclaim_iteration_scratch_local_tempdir_root(spark, tmp_path, monkeypatch):

@@ -59,6 +59,12 @@ WHITELIST = {
     # sparse path's 1-row triangle-sum collect (lets the census delete
     # its scratch generation before returning — ADVICE r9)
     "operators/graph.py": 3,
+    # connected_components driver union-find dispatch (round 19): ONE
+    # limit(cap+1)-bounded edge collect (cap =
+    # spark.analytics.cc.driverUnionFindMaxEdges, default 500k pairs;
+    # past it the distributed group-min loop runs unchanged) — the same
+    # guarded-driver-branch discipline as the dense triangle census
+    "operators/dedup.py": 1,
     # _insert_key_offset: one 1-row scalar aggregate (max merge key —
     # parquet column stats make the scan metadata-speed) shared by both
     # merge queries, ADVICE r13's collision-free insert-key derivation

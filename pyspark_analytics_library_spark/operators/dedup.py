@@ -97,8 +97,8 @@ def minhash_lsh_pairs(
 
     Fully deterministic (xxhash64 with fixed per-hash salts).  Pipeline:
     1. distinct 3-word shingles per doc (JVM array expressions);
-    2. explode; per doc, signature[i] = min(xxhash64(salt_i, shingle))
-       — one groupBy(doc) with ``num_hashes`` min-aggregates;
+    2. per doc, signature[i] = array_min over xxhash64(salt_i, shingle)
+       — a pure projection, no explode/groupBy shuffle (round 19);
     3. band key = xxhash64 over each band's rows; explode (band_id, key);
     4. equi-join docs sharing a (band_id, key) bucket → candidates;
     5. exact-Jaccard verification of candidates only.
@@ -144,12 +144,26 @@ def minhash_lsh_pairs(
         F.col(id_col), word_shingles(F.col(text_col)).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
-    exploded = shingled.select(id_col, F.explode("shingles").alias("sh"))
-    sig = exploded.groupBy(id_col).agg(
+    # Signature via array_min(transform(...)) — a pure per-row
+    # projection.  Round-19 optimization (guide §2.4 "remove shuffles
+    # outright"): the previous explode + groupBy(doc) formulation
+    # shuffled the EXPLODED shingle table (corpus × ~shingles-per-doc
+    # rows — the largest exchange in the whole pipeline at corpus
+    # scale) just to take per-doc minima that are computable inside
+    # the row.  Same hashes, same minima, proven row-identical and
+    # measured ~20 % faster end-to-end even at bench scale
+    # (OPTIMIZATION_r19.md #3).  The per-salt closure is a named
+    # factory: a two-parameter lambda would be called as
+    # (element, index) by the higher-order-function binder.
+    def _salted(i: int):
+        return lambda s: F.xxhash64(F.lit(i), s)
+
+    sig = shingled.select(
+        id_col,
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh_{i}")
+            F.array_min(F.transform("shingles", _salted(i))).alias(f"mh_{i}")
             for i in range(num_hashes)
-        ]
+        ],
     )
     band_rows = sig.select(
         id_col,

@@ -682,30 +682,71 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_clusters(C: "np.ndarray", A: "np.ndarray") -> "np.ndarray":
+    """Nearest centroid per row of A by squared L2 (vectorized; ties
+    broken by lowest cluster index, which np.argmin guarantees)."""
+    d2 = (
+        (A * A).sum(axis=1, keepdims=True)
+        - 2.0 * (A @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+    return np.argmin(d2, axis=1)
+
+
 def _assign_nearest(C: "np.ndarray"):
-    """mapInPandas generator: (vec_id, embedding) → nearest centroid by
-    squared L2 (vectorized; ties broken by lowest cluster index, which
-    np.argmin guarantees)."""
+    """mapInPandas generator: (vec_id, embedding) → (vec_id, cluster).
+    Round 19: the embedding column no longer rides back across the
+    Arrow boundary — no consumer ever read it from the output (guide
+    §4.1: pass only the columns the function needs, both directions)."""
 
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = (
-                (A * A).sum(axis=1, keepdims=True)
-                - 2.0 * (A @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(),
-                    "cluster": np.argmin(d2, axis=1).astype(np.int32),
-                    # reset_index: the other columns are positional numpy
-                    # arrays — a non-default-index Arrow batch would
-                    # otherwise align-by-label and misorder/NaN this column
-                    # relative to them (ADVICE r12).
-                    "embedding": pdf["embedding"].reset_index(drop=True),
+                    "cluster": _nearest_clusters(C, A).astype(np.int32),
+                }
+            )
+
+    return gen
+
+
+def _assign_partials(C: "np.ndarray"):
+    """mapInPandas generator for the Lloyd UPDATE step: per Arrow batch,
+    assign rows to centroids and emit the per-cluster partial sums and
+    counts — ≤ k×dim rows per batch, never row-sized output.
+
+    Round-19 optimization (guide §2.3 "aggregate before you shuffle",
+    §4.1): the previous update shipped every (vec_id, cluster,
+    embedding) row back to the JVM, posexploded n×dim (cluster, dim, x)
+    rows, and relied on hash-aggregate map-side combine.  Folding the
+    partial aggregation into the SAME matmul pass means embeddings
+    never leave the Python worker and the exchange carries only
+    k×dim×batches partials.  Final means = sum(s)/sum(cnt) per
+    (cluster, dim) — verified assignment-identical to the old
+    formulation at sf0.001/0.01/0.1 (OPTIMIZATION_r19.md #5)."""
+    k, dim = C.shape
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cl = _nearest_clusters(C, A)
+            sums = np.zeros((k, dim))
+            cnts = np.zeros(k, dtype=np.int64)
+            np.add.at(sums, cl, A)
+            np.add.at(cnts, cl, 1)
+            nz = np.nonzero(cnts)[0]
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(nz, dim).astype(np.int32),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32), len(nz)),
+                    "s": sums[nz].ravel(),
+                    "cnt": np.repeat(cnts[nz], dim),
                 }
             )
 
@@ -716,16 +757,17 @@ def distributed_kmeans_assign(
     e: DataFrame, k: int = 8, iters: int = 5
 ) -> DataFrame:
     """Fully DISTRIBUTED Lloyd k-means: per-iteration Arrow-batched
-    nearest-centroid assignment (mapInPandas) + distributed centroid
-    update (posexplode → groupBy(cluster, dim) avg), with only the
-    k×dim centroid matrix crossing to the driver each round — the
-    iterative-ML companion to :func:`train_ivf_centroids`, which
+    assignment + partial-sum centroid update fused into ONE mapInPandas
+    pass (``_assign_partials`` — round 19; previously assignment and a
+    posexplode → groupBy avg ran as separate row-sized stages), with
+    only the k×dim centroid matrix crossing to the driver each round —
+    the iterative-ML companion to :func:`train_ivf_centroids`, which
     trains on a bounded driver-side SAMPLE (the FAISS recipe).  Use
     this shape when the training set itself is the 100 TB table: state
     on the driver is k×dim floats per iteration (the same bounded
     class as PageRank's rank vector), every data-sized operation is a
-    scan + one shuffle of k×dim partial sums (map-side combine
-    collapses each task to ≤ k×dim rows before the exchange).
+    scan whose output is ≤ k×dim partial rows per Arrow batch before
+    the exchange; embeddings never leave the Python workers.
 
     Deterministic: init = the first ``k`` vectors by vec_id
     (orderBy before limit — layout-independent), fixed ``iters``, no
@@ -743,24 +785,20 @@ def distributed_kmeans_assign(
         C = np.stack(
             [np.asarray(r["embedding"], dtype=np.float64) for r in init]
         )
-        schema = "vec_id long, cluster int, embedding array<float>"
         for _ in range(iters):
-            assigned = e.mapInPandas(_assign_nearest(C), schema)
             upd = (
-                assigned.select(
-                    "cluster", F.posexplode("embedding").alias("dim", "x")
+                e.mapInPandas(
+                    _assign_partials(C), "cluster int, dim int, s double, cnt long"
                 )
                 .groupBy("cluster", "dim")
-                .agg(F.avg("x").alias("m"))
+                .agg((F.sum("s") / F.sum("cnt")).alias("m"))
                 .collect()  # k×dim rows: bounded, not data-sized
             )
             for r in upd:
                 C[r["cluster"], r["dim"]] = r["m"]
     finally:
         e = e.unpersist()
-    return e.mapInPandas(_assign_nearest(C), schema).select(
-        "vec_id", "cluster"
-    )
+    return e.mapInPandas(_assign_nearest(C), "vec_id long, cluster int")
 
 
 @query("sim_kmeans_assign", tags=("rows-only",))  # iterative float loop

@@ -635,6 +635,7 @@ def _write_bucketed(
     cluster_by=None,
     max_records_per_file: int | None = None,
     part_spec: tuple | None = None,
+    skip_shuffle: bool = False,
 ) -> list[dict]:
     """Write ``df`` hash-bucketed by ``key`` under a fresh commit dir;
     return manifest entries
@@ -660,7 +661,19 @@ def _write_bucketed(
     bucket dirs and stamps each entry with its partition value.  The
     repartition then hashes on (partition, bucket) so each non-empty
     (partition, bucket) combo lands in exactly one task → one file
-    (plus the max_records_per_file splitter)."""
+    (plus the max_records_per_file splitter).
+
+    ``skip_shuffle`` (round-19 optimization, guide §2.4 "remove
+    shuffles outright"): when the input is ALREADY physically grouped
+    by bucket — the merge-on-read tombstone write reads back the just-
+    written bucket-partitioned delta files, so each scan task holds
+    whole single-bucket files — re-hashing it through an exchange
+    moves every row for zero placement information.  partitionBy
+    routes rows by the computed bucket column regardless of physical
+    layout, so the write is value-identical; each task just writes the
+    (few) bucket dirs it already holds.  Never set this for inputs
+    with arbitrary layout: every task would spray one small file into
+    every bucket it touches."""
     from pyspark.sql import functions as F
 
     for reserved in ("bucket", "_zorder", "_part"):
@@ -686,7 +699,7 @@ def _write_bucketed(
             ).repartition("_part", "bucket")
             sort_prefix = ["_part", "bucket"]
             part_dirs = ["_part", "bucket"]
-        else:
+        elif not skip_shuffle:
             staged = staged.repartition(n_buckets, "bucket")
         drop_helper = None
         if isinstance(cluster_by, (list, tuple)):
@@ -2529,8 +2542,11 @@ def table_merge_mor(spark, target: str, updates: DataFrame, position_deletes: bo
     delta_keys = spark.read.schema(schema).parquet(
         *[os.path.join(target, e["path"]) for e in entries]
     ).select(key)
+    # skip_shuffle: the delta scan is already grouped by bucket (each
+    # task holds whole single-bucket files just written above), so the
+    # tombstone write needs no exchange — round-19 optimization.
     tomb_entries = _write_bucketed(
-        delta_keys, target, key, n_buckets, gen=new_seq
+        delta_keys, target, key, n_buckets, gen=new_seq, skip_shuffle=True
     )
     dv_rel = _maybe_write_dv(
         spark, target, man, schema, tomb_entries, delta_keys, position_deletes

@@ -374,6 +374,9 @@ REFERENCE = {
     "merge_upsert": 1.69,  # r13 idle band max (1.08-1.69; write jitter)
     "merge_scd2": 1.10,  # r13 idle band max (0.98-1.10)
     "triangles_sparse": 4.71,  # r14 idle band max (see BASELINE.md r14)
+    # Round-19 row: the distributed CC loop pinned on the candidate
+    # graph (band max of two same-day r19 readings, 5.40 / 5.42).
+    "cc_distributed": 5.42,
     # Round-18 lakehouse maintenance rows (BASELINE.md §"Round-18
     # regression reference"): band max of two same-day readings.
     "lake_append": 1.32,  # 1.25 / 1.32

@@ -1389,6 +1389,49 @@ def _disk_name(col: str, suffix: list[dict]) -> str:
     return col
 
 
+def _read_paths(spark, schema, paths: list[str]) -> DataFrame:
+    """``spark.read.schema(schema).parquet(*paths)`` with the file
+    listing kept DRIVER-SIDE on local masters (round-20 optimization,
+    guide §6 "file listing" / §5 "the driver").
+
+    Every explicit-path reader in this module hands Spark a manifest-
+    derived leaf-file list; when that list exceeds
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` (default
+    32) Spark launches a DISTRIBUTED LISTING JOB whose launch latency
+    (~0.25 s measured at bench scale) dwarfs the work — listing 64
+    local files driver-side takes ~5 ms, so the job cut reader
+    construction 0.36 s → 0.10 s per scan (OPTIMIZATION_r20.md #2).
+    The commit layer builds several such readers per table op, so the
+    tax repeated per op.
+
+    Scale posture: driver-side listing is only a win when per-file
+    metadata calls are cheap (local FS / fast shared FS); on an object
+    store 1000 sequential HEADs would cost far more than one listing
+    job, so the default gates to LOCAL masters only — the same
+    discipline as the loader trim in ``sources/io.py`` and the CC
+    loop's partition trim.  ``spark.analytics.lake.driverListing``
+    overrides: ``always`` (operator knows the FS is fast), ``never``,
+    ``auto`` (default: local masters only).  The conf flip is scoped
+    and restored; it only affects how paths are LISTED, never what is
+    read."""
+    mode = spark.conf.get("spark.analytics.lake.driverListing", "auto")
+    local = spark.sparkContext.master.startswith("local")
+    if mode == "always" or (mode == "auto" and local):
+        key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        prev = spark.conf.get(key, "32")
+        try:
+            raise_needed = len(paths) > int(prev)
+        except ValueError:
+            raise_needed = True
+        if raise_needed:
+            spark.conf.set(key, str(len(paths)))
+            try:
+                return spark.read.schema(schema).parquet(*paths)
+            finally:
+                spark.conf.set(key, prev)
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def _scan_entries(spark, target: str, man: dict, schema, items, meta_cols=False):
     """Parquet scan of manifest entries in the table's CURRENT column
     names, honoring rename epochs (round 19, VERDICT r18 next #4):
@@ -1419,8 +1462,8 @@ def _scan_entries(spark, target: str, man: dict, schema, items, meta_cols=False)
     renames = man.get("renames") or []
     if not renames:
         return meta(
-            spark.read.schema(schema).parquet(
-                *[os.path.join(target, e["path"]) for e in items]
+            _read_paths(
+                spark, schema, [os.path.join(target, e["path"]) for e in items]
             )
         )
     groups: dict[int, list[dict]] = {}
@@ -1434,8 +1477,10 @@ def _scan_entries(spark, target: str, man: dict, schema, items, meta_cols=False)
             for f in schema.fields
         ]
         df = meta(
-            spark.read.schema(StructType(fields)).parquet(
-                *[os.path.join(target, e["path"]) for e in groups[k]]
+            _read_paths(
+                spark,
+                StructType(fields),
+                [os.path.join(target, e["path"]) for e in groups[k]],
             )
         )
         sel = [
@@ -1636,8 +1681,8 @@ def _masked_scan(
         data = plain(anti).withColumn("_gen", commit_gen_expr(anti))
         key_field = next(f for f in schema.fields if f.name == key)
         tomb_schema = StructType([key_field])
-        tomb_scan = spark.read.schema(tomb_schema).parquet(
-            *[os.path.join(target, t["path"]) for t in anti_tombs]
+        tomb_scan = _read_paths(
+            spark, tomb_schema, [os.path.join(target, t["path"]) for t in anti_tombs]
         )
         tk = _scan_coalesce(spark, anti_tombs)
         if tk < len(anti_tombs):
@@ -2421,8 +2466,8 @@ def _write_position_deletes(
     files_map: dict[str, list[int]] = {e["path"]: [] for e in base}
     uris: dict[str, str] = {}
     if base:
-        scan = spark.read.schema(schema).parquet(
-            *[os.path.join(target, e["path"]) for e in base]
+        scan = _read_paths(
+            spark, schema, [os.path.join(target, e["path"]) for e in base]
         )
         k = _scan_coalesce(spark, base)
         if k < len(base):
@@ -2539,8 +2584,8 @@ def table_merge_mor(spark, target: str, updates: DataFrame, position_deletes: bo
     # leave the stale base row alive as a duplicate.  The written files
     # are the one authoritative evaluation (and re-reading the
     # batch-sized deltas is cheaper than re-running the batch plan).
-    delta_keys = spark.read.schema(schema).parquet(
-        *[os.path.join(target, e["path"]) for e in entries]
+    delta_keys = _read_paths(
+        spark, schema, [os.path.join(target, e["path"]) for e in entries]
     ).select(key)
     # skip_shuffle: the delta scan is already grouped by bucket (each
     # task holds whole single-bucket files just written above), so the

@@ -605,7 +605,10 @@ def connected_components(
     if trim:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        lab = _cc_loop(sym, max_iters)
+        # Reaching the loop with uf_cap > 0 means the dispatch probe
+        # PROVED |E| > uf_cap — the signal the auto edge-bucketing
+        # policy keys on (see _cc_materialize_sym).
+        lab = _cc_loop(sym, max_iters, big_edges=uf_cap > 0)
     finally:
         if trim:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -853,16 +856,167 @@ def reclaim_iteration_scratch(
     return deleted
 
 
-def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
-    scratch_root = _iteration_scratch_root(sym.sparkSession)
-    # Materialize the symmetrized edge list ONCE: the loop references it
-    # every round, and without a cut each round would re-execute the
-    # caller's edge-generation plan (here a self-join; in the fuzzy
-    # pipeline a full LSH candidate stage) ~log(diameter) times.  Also
-    # gives every round's planner exact size stats for the join side.
+def _cc_materialize_sym(
+    spark, sym: DataFrame, scratch_root: str, big_edges: bool = False
+):
+    """Materialize the symmetrized edge list ONCE — as a BUCKETED,
+    src-sorted table when the edge set is big (round-20 optimization,
+    guide §2.4 "bucketed tables persist a partitioning across jobs" /
+    VERDICT r19 next #1), else as plain coalesced parquet.
+
+    The loop joins ``sym`` on ``src`` every round; a plain parquet
+    materialization loses the layout, so at any label size past the
+    broadcast threshold every round re-shuffles (and re-sorts) the
+    ENTIRE edge table for the sort-merge join — log(diameter) edge
+    exchanges for one edge set.  ``bucketBy(n, src).sortBy(src)``
+    persists hash(src) partitioning + order in the table metadata, so
+    every round's join reads the buckets with ZERO exchange and ZERO
+    sort on the edge side (plan pinned by
+    tests/test_plans.py::test_cc_sym_bucketed_join_no_edge_exchange);
+    only the vertex-sized label table moves per round.  The up-front
+    ``repartition(n, src)`` uses the same hash as the bucket spec, so
+    each task holds exactly one bucket → one file per bucket (no
+    small-file spray).
+
+    The bucketed write costs one up-front edge shuffle plus a catalog
+    round-trip (~0.3-0.5 s measured locally), which only pays off when
+    the per-round join would otherwise exchange the edge table — i.e.
+    when |E| is large.  ``spark.analytics.cc.edgeBuckets`` picks the
+    policy: ``auto`` (default) buckets exactly when the union-find
+    dispatch probe PROVED |E| > driverUnionFindMaxEdges (the only case
+    the loop runs in production; bucket count = the session's shuffle
+    partitions — on a cluster size it like any edge-table shuffle), an
+    integer > 0 forces bucketing with that count (the plan-pin test
+    and cluster operators who zeroed the UF cap), and ``0`` never
+    buckets.
+
+    Returns ``(df, drop_fn)``; ``drop_fn`` removes the catalog entry
+    (the data files live in ``scratch_root`` and are reclaimed by the
+    loop's normal scratch lifecycle)."""
+    import uuid as _uuid
+
     sym_path = os.path.join(scratch_root, "sym")
-    sym.coalesce(8).write.mode("overwrite").parquet(sym_path)
-    sym = sym.sparkSession.read.parquet(sym_path)
+    conf = str(spark.conf.get("spark.analytics.cc.edgeBuckets", "auto"))
+    if conf == "auto":
+        bucket, n_buckets = big_edges, 0
+    else:
+        n_buckets = int(conf)
+        bucket = n_buckets > 0
+    if not bucket:
+        sym.coalesce(8).write.mode("overwrite").parquet(sym_path)
+        return spark.read.parquet(sym_path), (lambda: None)
+    if n_buckets <= 0:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    tbl = f"pyspark_analytics_cc_sym_{_uuid.uuid4().hex[:12]}"
+    (
+        sym.repartition(n_buckets, "src")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .option("path", sym_path)
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+
+    def drop():
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        except Exception:  # cleanup must never fail the computation
+            pass
+
+    return spark.table(tbl), drop
+
+
+def _cc_step(sym: DataFrame, start: DataFrame) -> DataFrame:
+    """One group-min hash-to-min round (phases 1+2), lazily.  ``start``
+    carries (v, label, base_label); base_label — the label at the last
+    materialized state — passes through untouched so the convergence
+    count can compare against it.
+
+    Phase 2 was restructured in round 20 (guide §2.4; measured in
+    OPTIMIZATION_r20.md #1).  The previous shape computed
+    ``gmin = stepped.groupBy(round_old).min(c)`` and joined it back
+    TWICE (through round_old and through c); with ``stepped`` lazy,
+    the physical plan computed the ENTIRE phase-1 subtree — the
+    edge-table join — three times per round (plan capture:
+    plans/r20/cc_round_step_before.txt, 10 exchanges + 3 broadcasts).
+    Now each row explodes into its two lookup keys, ONE explicit
+    ``repartition(k)`` exchange feeds BOTH the group-min aggregate and
+    the join probe (identical subtree → ReusedExchange, statically
+    pinned with AQE off), and a vertex-keyed aggregate folds the two
+    lookups back:
+
+        label'(v) = min over v's rows of least(c, g'(k))
+                  = least(c, g'(round_old), g'(c))
+
+    where g'(k) = min(c) over ALL exploded rows keyed k.  Equivalence
+    to the old two-join form, pointwise: the exploded (c → c) rows
+    change g only to g'(l) = min(g(l), l·[∃u: c(u) = l]); for
+    k = round_old(v), v itself is in group round_old so
+    g(round_old) ≤ c(v) ≤ round_old and the extra candidate never
+    wins; for k = c(v), the extra candidate is c(v) itself, already an
+    argument of the outer least; and where the old form's left-join
+    coalesced a missing g(c) to c, g'(c) = c exactly (v's own (c → c)
+    row).  Labels and per-round convergence counts are therefore
+    IDENTICAL (measured: same labels, same round count at sf0.01 — 3
+    rounds — and sf0.1 — 8 rounds).  One semantic footnote: a NULL
+    edge endpoint's (NULL, NULL) label row is dropped by the inner
+    join (NULL never equi-matches) instead of carried inert — it never
+    matched anything downstream (_attach_singletons joins on the
+    caller's vertices), so outputs are unchanged; pinned incl. NULL
+    endpoints by test_cc_driver_union_find_matches_loop.
+
+    Why it matters: phase 1 (the EDGE-SIZED join + neighbor-min) now
+    executes once per round instead of three times, and phase 2's
+    delivery stays a partial-aggregated groupBy + equi-join — hot
+    label groups (a giant component in late rounds) keep map-side
+    combining and AQE skew-split, which a window-function delivery
+    (measured marginally faster locally) would serialize onto one
+    task at 100 TB."""
+    nb = (
+        sym.join(start, sym.src == start.v)
+        .groupBy(F.col("dst").alias("nv"))
+        .agg(F.min("label").alias("nb_min"))
+    )
+    stepped = start.join(nb, start.v == F.col("nv"), "left").select(
+        "v",
+        "base_label",
+        F.col("label").alias("round_old"),
+        F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("c"),
+    )
+    ex = stepped.select(
+        "v",
+        "base_label",
+        "c",
+        F.explode(F.array("round_old", "c")).alias("k"),
+    ).repartition("k")
+    g = ex.groupBy("k").agg(F.min("c").alias("gm"))
+    return (
+        ex.join(g, "k")
+        .groupBy("v")
+        .agg(
+            F.min(F.least(F.col("c"), F.col("gm"))).alias("label"),
+            F.min("base_label").alias("base_label"),
+        )
+    )
+
+
+def _cc_loop(
+    sym: DataFrame, max_iters: int, big_edges: bool = False
+) -> DataFrame:
+    spark = sym.sparkSession
+    scratch_root = _iteration_scratch_root(spark)
+    # Materialize the symmetrized edge list ONCE (bucketed + sorted on
+    # src for proven-big edge sets — see _cc_materialize_sym): the loop
+    # references it every round, and without a cut each round would
+    # re-execute the caller's edge-generation plan (here a self-join;
+    # in the fuzzy pipeline a full LSH candidate stage) ~log(diameter)
+    # times.  Also gives every round's planner exact size stats for
+    # the join side.
+    sym_path = os.path.join(scratch_root, "sym")
+    sym, drop_sym_table = _cc_materialize_sym(
+        spark, sym, scratch_root, big_edges=big_edges
+    )
     # Labels start from the EDGE-INCIDENT vertex set only (derived from
     # the materialized edges — no extra pass over the caller's plan);
     # singletons rejoin in connected_components via _attach_singletons.
@@ -871,51 +1025,6 @@ def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     lab = _cc_checkpoint(
         verts_e.select(F.col("v"), F.col("v").alias("label")), scratch_root, 0
     )
-
-    def step(lab: DataFrame) -> DataFrame:
-        """One group-min hash-to-min round (phases 1+2), lazily.
-        ``lab`` carries (v, label, base_label); base_label — the label
-        at the last materialized state — passes through untouched so
-        the convergence count can compare against it after several
-        lazy rounds."""
-        # Phase 1: neighbor-min — c(v) = min label over {v} ∪ N(v).
-        nb = (
-            sym.join(lab, sym.src == lab.v)
-            .groupBy(F.col("dst").alias("nv"))
-            .agg(F.min("label").alias("nb_min"))
-        )
-        stepped = lab.join(nb, lab.v == F.col("nv"), "left").select(
-            "v",
-            "base_label",
-            F.col("label").alias("round_old"),
-            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("c"),
-        )
-        # Phase 2: group-min — g(l) = min c(v) over the vertices whose
-        # entering label is l; every member then drops to min(c,
-        # g(entering), g(c)).  Joining g through BOTH labels merges
-        # label clusters pairwise, which is what keeps the round count
-        # logarithmic on adversarial id layouts.
-        gmin = stepped.groupBy(F.col("round_old").alias("l")).agg(
-            F.min("c").alias("gm")
-        )
-        return (
-            stepped.join(gmin, stepped.round_old == gmin.l, "left")
-            .select("v", "base_label", "c", F.col("gm").alias("gm_old"))
-            .join(
-                gmin.select(F.col("l").alias("l2"), F.col("gm").alias("gm_c")),
-                F.col("c") == F.col("l2"),
-                "left",
-            )
-            .select(
-                "v",
-                F.least(
-                    F.col("c"),
-                    F.coalesce("gm_old", "c"),
-                    F.coalesce("gm_c", "c"),
-                ).alias("label"),
-                "base_label",
-            )
-        )
 
     # One round per materialization.  (A GraphFrames-style
     # checkpointInterval=2 — two lazy rounds per write — was measured
@@ -933,23 +1042,30 @@ def _cc_loop(sym: DataFrame, max_iters: int) -> DataFrame:
     from pyspark.sql import Observation
 
     changed = 0
-    for round_no in range(1, max_iters + 1):
-        start = lab.select("v", "label", F.col("label").alias("base_label"))
-        once = step(start)
-        obs = Observation()
-        observed = once.select(
-            "v", F.col("base_label").alias("old_label"), "label"
-        ).observe(
-            obs,
-            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
-                "changed"
-            ),
-        )
-        chk = _cc_checkpoint(observed, scratch_root, round_no)
-        changed = obs.get["changed"] or 0
-        lab = chk.select("v", "label")
-        if changed == 0:
-            break
+    try:
+        for round_no in range(1, max_iters + 1):
+            start = lab.select(
+                "v", "label", F.col("label").alias("base_label")
+            )
+            once = _cc_step(sym, start)
+            obs = Observation()
+            observed = once.select(
+                "v", F.col("base_label").alias("old_label"), "label"
+            ).observe(
+                obs,
+                F.sum(
+                    (F.col("label") != F.col("old_label")).cast("long")
+                ).alias("changed"),
+            )
+            chk = _cc_checkpoint(observed, scratch_root, round_no)
+            changed = obs.get["changed"] or 0
+            lab = chk.select("v", "label")
+            if changed == 0:
+                break
+    finally:
+        # The catalog entry is metadata only; the data files follow the
+        # scratch lifecycle below (and _fs_delete is idempotent).
+        drop_sym_table()
     if changed != 0:
         # Nothing useful survives an unconverged run — reclaim it all.
         _fs_delete(lab.sparkSession, scratch_root)

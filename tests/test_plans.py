@@ -767,3 +767,79 @@ def test_mor_clean_files_skip_the_anti_join(spark, tmp_path):
     text = plan_text(masked)
     assert "BroadcastHashJoin" in text and "LeftAnti" in text, text
     assert masked.count() == 1999
+
+
+def test_cc_step_shares_one_phase1_subtree(spark, tmp_path):
+    """Round-20 phase-2 restructure pin: one group-min round's plan must
+    execute the EDGE-SIZED phase-1 subtree exactly once — the group-min
+    aggregate and its join probe consume a single shared repartition(k)
+    exchange (ReusedExchange statically with AQE off).  The previous
+    two-join shape computed the whole phase-1 join three times per
+    round (plans/r20/cc_round_step_before.txt: 10 exchanges)."""
+    from pyspark_analytics_library_spark.operators.dedup import _cc_step
+
+    sym_rows = [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10)]
+    spark.createDataFrame(sym_rows, "src long, dst long").write.parquet(
+        str(tmp_path / "sym")
+    )
+    sym = spark.read.parquet(str(tmp_path / "sym"))
+    spark.createDataFrame(
+        [(v, v) for v in (1, 2, 3, 10, 11)], "v long, label long"
+    ).write.parquet(str(tmp_path / "lab"))
+    lab = spark.read.parquet(str(tmp_path / "lab"))
+    start = lab.select("v", "label", F.col("label").alias("base_label"))
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        once = _cc_step(sym, start)
+        text = once._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "ReusedExchange" in text, text
+    # the sym parquet is scanned exactly once in the whole round plan
+    assert text.count(str(tmp_path / "sym")) == 1, text
+
+
+def test_cc_sym_bucketed_join_no_edge_exchange(spark, tmp_path):
+    """Round-20 bucketed-sym pin (VERDICT r19 next #1): the materialized
+    symmetrized edge table persists hash(src) bucketing + src order, so
+    a src-keyed sort-merge join against it (broadcast disabled) carries
+    NO Exchange and NO Sort on the edge side — only the label side
+    shuffles, every round, at any label size."""
+    from pyspark_analytics_library_spark.operators.dedup import (
+        _cc_materialize_sym,
+        _fs_delete,
+    )
+
+    sym0 = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(50)], "src long, dst long"
+    )
+    confs = {
+        "spark.analytics.cc.edgeBuckets": "4",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    scratch = str(tmp_path / "scratch")
+    try:
+        sym, drop = _cc_materialize_sym(spark, sym0, scratch)
+        try:
+            lab = spark.range(0, 7).select(
+                F.col("id").alias("v"), F.col("id").alias("label")
+            )
+            joined = sym.join(lab, sym.src == lab.v)
+            text = joined._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+            assert "SortMergeJoin" in text, text
+            assert "SelectedBucketsCount" in text, text
+            # exactly one exchange/sort pair: the label side (on v)
+            assert text.count("Exchange hashpartitioning") == 1, text
+            assert "hashpartitioning(v#" in text, text
+            assert joined.count() == 50
+        finally:
+            drop()
+            _fs_delete(spark, scratch)
+    finally:
+        for k, v in prev.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))

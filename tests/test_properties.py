@@ -1576,3 +1576,74 @@ def test_binned_percentiles_two_value_bulk_straddle_stays_bounded(spark):
     )
     want = df.groupBy("g").agg(F.percentile("v", F.lit(0.5))).collect()[0][1]
     assert got == {("g",): {0.5: want}}
+
+
+def test_cc_step_restructure_matches_two_join_form(spark):
+    """Round-20 phase-2 restructure pin: the explode + shared-exchange
+    group-min delivery must produce EXACTLY the labels of the previous
+    two-join form — least(c, g(round_old), g(c)) pointwise — on a
+    random graph including NULL endpoints, for several consecutive
+    rounds (so mid-convergence states are compared, not just the
+    fixpoint the union-find test already pins)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_analytics_library_spark.operators.dedup import _cc_step
+
+    random.seed(20)
+    pairs = [(random.randint(0, 80), random.randint(0, 80)) for _ in range(120)]
+    pairs += [(None, 3), (4, None)]
+    e2 = spark.createDataFrame(pairs, "src long, dst long")
+    sym = e2.union(e2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lab = sym.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+
+    def step_two_join(start):
+        nb = (
+            sym.join(start, sym.src == start.v)
+            .groupBy(F.col("dst").alias("nv"))
+            .agg(F.min("label").alias("nb_min"))
+        )
+        stepped = start.join(nb, start.v == F.col("nv"), "left").select(
+            "v",
+            "base_label",
+            F.col("label").alias("round_old"),
+            F.least(F.col("label"), F.coalesce("nb_min", "label")).alias("c"),
+        )
+        gmin = stepped.groupBy(F.col("round_old").alias("l")).agg(
+            F.min("c").alias("gm")
+        )
+        return (
+            stepped.join(gmin, stepped.round_old == gmin.l, "left")
+            .select("v", "base_label", "c", F.col("gm").alias("gm_old"))
+            .join(
+                gmin.select(F.col("l").alias("l2"), F.col("gm").alias("gm_c")),
+                F.col("c") == F.col("l2"),
+                "left",
+            )
+            .select(
+                "v",
+                F.least(
+                    F.col("c"),
+                    F.coalesce("gm_old", "c"),
+                    F.coalesce("gm_c", "c"),
+                ).alias("label"),
+                "base_label",
+            )
+        )
+
+    cur = lab
+    for _ in range(3):
+        start = cur.select("v", "label", F.col("label").alias("base_label"))
+        old = {
+            (r.v, r.label)
+            for r in step_two_join(start).select("v", "label").collect()
+            if r.v is not None
+        }
+        new_rows = _cc_step(sym, start).select("v", "label").collect()
+        new = {(r.v, r.label) for r in new_rows if r.v is not None}
+        assert new == old
+        # advance with the restructured step's output (non-null rows)
+        cur = spark.createDataFrame(sorted(new), "v long, label long")

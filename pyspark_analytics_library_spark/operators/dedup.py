@@ -521,6 +521,17 @@ def connected_components(
     component — the step that turns near-dup PAIRS into dedup GROUPS
     (pick one keeper per component).
 
+    Vertex/edge contract (since round 19; made explicit per ADVICE
+    r19): edge endpoints need NOT appear in ``vertices`` — labels
+    initialize from the edge-incident endpoint set on both dispatch
+    paths, so an out-of-vertex endpoint participates in merging and
+    its id can become a component's label (it just never appears as an
+    output row, since the output is keyed on ``vertices``).  Callers
+    wanting the pre-r19 "edges outside the vertex set never propagate"
+    behavior must semi-join their edges to the vertex set first.
+    NULL endpoints are no-ops (a NULL never equi-joins), and every
+    vertex absent from any edge labels itself.
+
     Algorithm: two-phase hash-to-min.  Each round (1) takes the min
     label over each vertex's neighborhood, then (2) takes the min of
     that over each CURRENT LABEL GROUP and joins it back through both
@@ -561,9 +572,14 @@ def connected_components(
       collect under their caps.  This removes the per-round job latency
       entirely for small candidate graphs (the common LSH output: a few
       hundred to a few hundred thousand pairs even on large corpora).
-      Set the cap to ``0`` to force the distributed loop.  Past the cap
-      the partial ``limit`` pass is the only extra cost before the loop
-      runs unchanged.
+      Set the cap to ``0`` to force the distributed loop.  Above-cap
+      cost, stated honestly (ADVICE r19): ``CollectLimit`` early-exits
+      only when the edge plan's FINAL stage is limit-pushable — when
+      the plan ends in a shuffle (the usual LSH candidate join), the
+      probe executes that plan essentially in full before the loop
+      materializes it AGAIN, so operators of large fuzzy pipelines
+      whose edge sets are known to exceed the cap should set the cap
+      to ``0`` and skip the probe.
     - **Singleton bypass.**  The distributed loop now iterates over the
       EDGE-INCIDENT vertices only — every other vertex's component is
       itself by definition, so carrying them through log(diameter)
@@ -1188,10 +1204,19 @@ def q_dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.min("val_min").over(Window.partitionBy("lang", "seg")),
     ).select("lang", "n_chars", "component")
-    # The mapping's cardinality is structurally bounded (languages ×
-    # distinct document lengths), so broadcast is safe at any scale.
+    # The mapping's cardinality is languages × distinct document
+    # lengths — usually tiny, but bounded by data, not by structure
+    # (ADVICE r19: a corpus of very long documents could make it
+    # millions of rows).  Round 20 drops the unconditional broadcast
+    # hint and lets the planner choose: the mapping sits behind an
+    # aggregate exchange, so AQE sees its TRUE runtime size and still
+    # picks a broadcast join whenever it fits (verified at sf0.1: all
+    # four joins stay BroadcastHashJoin, rows identical, timing equal
+    # — plans/r20/dedup_connected_components_{before,after}.txt),
+    # while a pathological mapping degrades to a sort-merge join
+    # instead of an executor OOM.
     return (
-        d.join(F.broadcast(mapping), ["lang", "n_chars"], "left")
+        d.join(mapping, ["lang", "n_chars"], "left")
         .select(
             "doc_id",
             F.coalesce("component", F.col("doc_id")).alias("component"),

@@ -1403,3 +1403,58 @@ def test_mask_split_clean_dirty_partition(spark, tmp_path):
     assert commit_mod._may_mask(e_unknown_nulls, t_with_nulls, "o_orderkey")
     # Older/equal-gen tombstones never mask, regardless of ranges.
     assert not commit_mod._may_mask(dict(e_disjoint, gen=t["gen"]), t, "o_orderkey")
+
+
+def test_mor_tombstone_skip_shuffle_guarded_by_split_size(spark, tmp_path):
+    """Round-20 guard (VERDICT r19 #4): the tombstone write may skip
+    its exchange only while every delta file fits ONE scan task.  With
+    maxPartitionBytes forced below the delta file sizes, a split delta
+    file would make each scan task write its own file per bucket — the
+    guard must fall back to the repartition, keeping per-bucket
+    tombstone file counts at 1 and the visible rows identical."""
+    base = _v2_base(spark)
+    updates = base.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+
+    def run(target, conf):
+        commit_mod.table_init(base, target, "o_orderkey", n_buckets=4)
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", conf)
+        try:
+            commit_mod.table_merge_mor(spark, target, updates)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        man = commit_mod._load_manifest(target)
+        tombs = man.get("tombstones", [])
+        per_bucket: dict[int, int] = {}
+        for t in tombs:
+            per_bucket[t["bucket"]] = per_bucket.get(t["bucket"], 0) + 1
+        return per_bucket, _v2_rows(spark, target)
+
+    fast_pb, fast_rows = run(str(tmp_path / "fast"), "128m")
+    slow_pb, slow_rows = run(str(tmp_path / "split"), "2k")
+    # guarded path (files "oversized" vs the split size): exactly one
+    # tombstone file per touched bucket, value-identical read
+    assert slow_pb and all(n == 1 for n in slow_pb.values()), slow_pb
+    assert set(slow_pb) == set(fast_pb)
+    assert slow_rows == fast_rows
+
+
+def test_write_bucketed_skip_shuffle_with_part_spec_raises(spark):
+    """ADVICE r19: skip_shuffle's already-grouped precondition can never
+    hold through the part_spec branch's repartition — the combination
+    must refuse loudly instead of silently repartitioning."""
+    df = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="skip_shuffle"):
+        commit_mod._write_bucketed(
+            df,
+            "/tmp/never-written",
+            "k",
+            4,
+            part_spec=("k", "identity"),
+            skip_shuffle=True,
+        )

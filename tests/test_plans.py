@@ -843,3 +843,32 @@ def test_cc_sym_bucketed_join_no_edge_exchange(spark, tmp_path):
     finally:
         for k, v in prev.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_census_scratch_reclaimed_on_failure(spark, tmp_path, monkeypatch):
+    """Round-20 (ADVICE r19): an exception inside the census body —
+    here injected into the dense numpy section, between the edge write
+    and the normal-path delete — must not leak the scratch generation."""
+    import numpy as np
+    import pytest
+
+    from pyspark_analytics_library_spark.operators.graph import triangle_census
+
+    spark.conf.set("spark.analytics.scratchDir", str(tmp_path))
+    monkeypatch.setattr(
+        np, "zeros", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected"))
+    )
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3)], "u long, v long"
+        )
+        with pytest.raises(RuntimeError, match="injected"):
+            triangle_census(spark, edges)
+        leftovers = [
+            p
+            for d in tmp_path.glob("pyspark_analytics_cc_*")
+            for p in d.iterdir()
+        ]
+        assert leftovers == [], leftovers
+    finally:
+        spark.conf.unset("spark.analytics.scratchDir")

@@ -6,7 +6,11 @@ Prints TWO JSON lines (VERDICT r14 #1: the driver records only the
 LAST ~2000 chars of stdout, and the former single line outgrew that
 window — BENCH_r14.json landed with ``parsed: null``):
 
-  line 1 — detail: {"detail": {"rows": {...}, "over_bar": {...}}}
+  line 1 — detail: {"detail": {"rows": {...}, "over_bar": {...},
+    "jvm_cpu_sec": {...}}}  (jvm_cpu_sec, round 20: JVM CPU seconds of
+    each row's best-wall rep — the executor task-CPU signal VERDICT
+    r19 #6 asked for; see _jvm_cpu_seconds for the Python-worker
+    blind spot)
   line 2 (FINAL) — compact headline the driver parses:
     {"metric": "suite_total_warm_sec", "value": N, "unit": "sec",
      "extended_total_sec": N, "queries": {...}, "any_over_bar": bool,
@@ -233,6 +237,27 @@ CUSTOM = {
 #: last ~2000 chars of stdout; headroom for the "BENCH: " style prefix
 #: wrappers a harness may add).
 _FINAL_LINE_MAX = 1800
+
+
+def _jvm_cpu_seconds(spark) -> float | None:
+    """Cumulative CPU seconds (utime+stime) of the gateway JVM from
+    /proc — in local mode that process hosts the driver AND every
+    executor thread, so a per-row delta is the executor task-CPU
+    signal VERDICT r19 #6 asked for: a parallel row shows
+    cpu ≫ wall, a serial/latency-bound row shows cpu ≈ wall, and the
+    8-vs-32-core wall ratio being ~1 stops being ambiguous.  Known
+    blind spot (documented in BASELINE.md): Python-worker CPU
+    (mapInPandas rows) runs in separate processes and is not counted.
+    Returns None off-Linux or when the gateway pid is unavailable —
+    the field is then omitted, never fabricated."""
+    try:
+        pid = spark.sparkContext._gateway.proc.pid  # noqa: SLF001
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(") ", 1)[1].split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[11]) + int(parts[12])) / hz
+    except Exception:
+        return None
 
 #: ANN recall floors — the same bars tests/test_properties.py asserts
 #: at sf0.001, now checked at the bench SF every round.
@@ -496,16 +521,24 @@ def main() -> None:
     # row — the failure mode that flagged 4 clean rows in BENCH_r16.
     # best-of-all-samples is reported, same estimator as BASELINE.md.
     best: dict[str, float] = {name: float("inf") for name in jobs}
+    # JVM CPU seconds of the best-wall rep per row (detail line; round
+    # 20, VERDICT r19 #6 — separates parallel rows, cpu >> wall, from
+    # the latency-bound rows whose 8-vs-32-core wall ratio is ~1).
+    best_cpu: dict[str, float] = {}
     for block in (0, 1):
         for bench_name, thunk in jobs.items():
             n = _reps(bench_name)
             k = (n + 1) // 2 if block == 0 else n // 2
             for _ in range(k):
+                c0 = _jvm_cpu_seconds(spark)
                 t0 = time.perf_counter()
                 thunk()
-                best[bench_name] = min(
-                    best[bench_name], time.perf_counter() - t0
-                )
+                dt = time.perf_counter() - t0
+                if dt < best[bench_name]:
+                    best[bench_name] = dt
+                    c1 = _jvm_cpu_seconds(spark)
+                    if c0 is not None and c1 is not None:
+                        best_cpu[bench_name] = round(c1 - c0, 4)
     timings = {name: round(t, 4) for name, t in best.items()}
 
     # Headline value = the ORIGINAL 8 queries (comparable across rounds
@@ -528,7 +561,7 @@ def main() -> None:
     # Two-line emission (VERDICT r14 #1): verbose per-query detail
     # first, then the compact headline as the FINAL line so it always
     # lands whole inside the driver's ~2000-char tail capture.
-    detail = {"rows": rows, "over_bar": over_bar}
+    detail = {"rows": rows, "over_bar": over_bar, "jvm_cpu_sec": best_cpu}
     final = {
         "metric": "suite_total_warm_sec",
         "value": total,

@@ -872,3 +872,31 @@ def test_census_scratch_reclaimed_on_failure(spark, tmp_path, monkeypatch):
         assert leftovers == [], leftovers
     finally:
         spark.conf.unset("spark.analytics.scratchDir")
+
+
+def test_minhash_verify_and_band_exchanges_are_reused(spark):
+    """Round-20 pin (VERDICT r19 next #5): the LSH pipeline references
+    the shingle-bearing corpus subtree four times (band self-join a/b
+    sides; verify joins sh_a/sh_b), but AQE's stage cache must dedupe
+    each pair — the executed plan carries a ReusedExchange for the
+    band-keyed exchange AND one for the id-keyed shingle exchange, so
+    the expensive shingle build runs exactly twice (once per key
+    shape), not four times.  If this pin breaks, materialize
+    ``shingled`` to scratch instead (measured candidate in
+    OPTIMIZATION_r20.md)."""
+    import re
+
+    from pyspark_analytics_library_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_tables(spark, TEST_SF_DIR)["documents"].select(
+        "doc_id", "text", "lang"
+    )
+    pairs = minhash_lsh_pairs(docs)
+    pairs.collect()
+    text = pairs._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    final = text.split("== Initial Plan ==")[0]
+    reused = re.findall(r"ReusedExchange.*?hashpartitioning\(([a-z_]+)", final)
+    assert "band_id" in reused, final
+    assert "id_a" in reused or "id_b" in reused, final

@@ -600,9 +600,20 @@ def connected_components(
             return _cc_driver_union_find(
                 spark, head, vertices, e2.schema["src"].dataType
             )
-    sym = e2.union(
-        e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Symmetrize by a row-local explode, NOT a union of two branches
+    # (round 20, guide §2.4): a union references ``e2`` twice, so the
+    # sym materialization job executed the CALLER'S edge-generation
+    # plan — here a self-join, in the fuzzy pipelines a full LSH
+    # candidate stage — twice (plan: 7 source scans → 4; measured
+    # −30 % on the sym build at sf0.1; rows proven identical).
+    sym = e2.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     # Scoped shuffle-partition trim (measured 13.3 s -> 3.5 s at sf0.01
     # on a bare session): every round pays per-partition task + state
     # overhead x partitions x rounds, and AQE's coalescing does not

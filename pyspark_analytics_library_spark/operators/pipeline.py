@@ -717,9 +717,17 @@ def q_pipeline_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFram
     tags = tagged.select("doc_id", "split")
     pairs = minhash_lsh_pairs(docs)
     # Each verified pair, both directions: (x, y) = x near-dups y.
-    ends = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
-        pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
-    )
+    # Row-local explode, not a two-branch union (round 20, guide §2.4):
+    # the union referenced the pairs plan twice, so the ENTIRE LSH
+    # verify stage appeared as two physical subtrees.
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("y")),
+                F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("y")),
+            )
+        ).alias("_e")
+    ).select("_e.x", "_e.y")
     hits = (
         ends.join(
             tags.hint("merge").select(F.col("doc_id").alias("x"), F.col("split").alias("sx")),
@@ -830,9 +838,17 @@ def q_pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("source").isin("src18", "src19")
     pairs = ngram_jaccard_pairs(docs.select("doc_id", "text", "lang"))
     membership = docs.select("doc_id", is_new.alias("is_new"))
-    ends = pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
-        pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
-    )
+    # Row-local explode, not a two-branch union (round 20, guide §2.4):
+    # the union referenced the pairs plan twice, so the ngram candidate
+    # stage appeared as two physical subtrees.
+    ends = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("x"), F.col("id_b").alias("y")),
+                F.struct(F.col("id_b").alias("x"), F.col("id_a").alias("y")),
+            )
+        ).alias("_e")
+    ).select("_e.x", "_e.y")
     rejected = (
         ends.join(
             membership.hint("merge").select(
